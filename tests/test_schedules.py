@@ -1,0 +1,102 @@
+"""LR schedule parity vs the reference tri-stage table and torch OneCycleLR."""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+
+from w2v2_speaker_tpu.objectives import schedules
+
+
+def _reference_tri_stage_factor(
+    max_steps, wr, cr, dr, initial_lr, base_lr, final_lr
+):
+    """Independent re-computation of TriStageLearningRateLambdaLRFunction
+    (tri_stage.py:22-99) via the same torch linspace/logspace tables."""
+    w = math.floor(max_steps * wr)
+    c = math.floor(max_steps * cr)
+    d = math.floor(max_steps * dr)
+    warm = torch.linspace(initial_lr, base_lr, steps=w).numpy().tolist()
+    decay = (
+        torch.logspace(
+            math.log(base_lr), math.log(final_lr), steps=d + 2, base=math.e
+        )
+        .numpy()
+        .tolist()
+    )
+
+    def fn(step):
+        if step < w:
+            lr = warm[step]
+        elif step <= w + c:
+            lr = base_lr
+        elif step <= max_steps:
+            lr = decay[step - (w + c)]
+        else:
+            lr = final_lr
+        return lr / base_lr
+
+    return fn
+
+
+def test_tri_stage_matches_reference_tables():
+    max_steps, wr, cr, dr = 1000, 0.1, 0.4, 0.5
+    initial, base, final = 1e-7, 3e-4, 1e-6
+    ref = _reference_tri_stage_factor(max_steps, wr, cr, dr, initial, base, final)
+    sched = schedules.tri_stage(max_steps, wr, cr, dr, initial, base, final)
+    for step in [0, 1, 50, 99, 100, 300, 500, 501, 700, 999, 1000, 1500]:
+        want = ref(step) * base
+        got = float(sched(step))
+        assert got == pytest.approx(want, rel=1e-5), f"step {step}"
+
+
+def test_tri_stage_ratio_validation():
+    with pytest.raises(ValueError):
+        schedules.tri_stage(100, 0.5, 0.5, 0.5, 1e-7, 1e-4, 1e-6)
+
+
+def test_one_cycle_shape():
+    sched = schedules.one_cycle(max_lr=1e-3, total_steps=1000)
+    lrs = np.array([float(sched(s)) for s in range(0, 1000, 10)])
+    peak_idx = lrs.argmax()
+    assert lrs[peak_idx] == pytest.approx(1e-3, rel=1e-3)
+    assert peak_idx == pytest.approx(30, abs=2)  # pct_start=0.3
+    assert lrs[0] == pytest.approx(1e-3 / 25, rel=1e-3)  # div_factor
+    assert lrs[-1] < lrs[0]
+
+
+def test_step_and_multistep():
+    s = schedules.step_decay(1.0, step_size=10, gamma=0.5)
+    assert float(s(0)) == 1.0
+    assert float(s(10)) == 0.5
+    assert float(s(25)) == 0.25
+    m = schedules.multi_step_decay(1.0, milestones=[5, 15], gamma=0.1)
+    assert float(m(4)) == pytest.approx(1.0)
+    assert float(m(5)) == pytest.approx(0.1)
+    assert float(m(20)) == pytest.approx(0.01, rel=1e-5)
+
+
+def test_cyclic_triangular():
+    s = schedules.cyclic(base_lr=0.1, max_lr=1.0, step_size_up=10)
+    assert float(s(0)) == pytest.approx(0.1)
+    assert float(s(10)) == pytest.approx(1.0)
+    assert float(s(20)) == pytest.approx(0.1)
+    assert float(s(15)) == pytest.approx(0.55)
+
+
+def test_reduce_on_plateau_controller():
+    c = schedules.ReduceLROnPlateauController(factor=0.5, patience=2)
+    for metric in [1.0, 0.9, 0.8]:
+        assert c.update(metric) == 1.0
+    # 3 non-improving evaluations -> decay
+    c.update(0.9)
+    c.update(0.9)
+    assert c.update(0.9) == 0.5
+
+
+def test_get_schedule_factory():
+    s = schedules.get_schedule("constant", lr=0.01)
+    assert float(s(123)) == pytest.approx(0.01)
+    with pytest.raises(ValueError):
+        schedules.get_schedule("bogus")

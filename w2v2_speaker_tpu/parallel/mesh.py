@@ -1,0 +1,71 @@
+"""Device-mesh and sharding helpers.
+
+The reference's only parallelism is PyTorch-Lightning DDP
+(`/root/reference/config/trainer/trainer.yaml:9-16`,
+`src/main.py:500-504`). The TPU-native equivalent is a `jax.sharding.Mesh`
+with the batch dimension sharded over a ``data`` axis; gradients are reduced
+by the XLA collectives pjit inserts automatically (riding ICI, not host
+networking). A ``model`` axis is part of the mesh contract from day one so
+larger backbones can shard parameters (tensor parallel) without changing the
+step functions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "create_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "data_parallel_specs",
+]
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    data: Optional[int] = None,
+    model: int = 1,
+) -> Mesh:
+    """Mesh over all (or given) devices: ('data', 'model'), model minor so
+    model-parallel groups map to ICI-adjacent chips."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        if n % model != 0:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.array(devices).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a pytree of host arrays with the leading axis sharded over
+    the data axis (per-host feeding; XLA handles the rest)."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def data_parallel_specs(mesh: Mesh):
+    """(state_sharding, batch_sharding) for pjit-style data parallelism:
+    replicated state, batch-sharded inputs."""
+    return replicated(mesh), batch_sharding(mesh)

@@ -1,0 +1,141 @@
+"""pjit-ed train / eval step builders.
+
+The hot loop: one jitted function per (task, mesh) running forward + backward
++ optimizer update entirely on device. Data parallelism comes from sharding
+the batch's leading axis over the mesh ``data`` axis while the TrainState is
+replicated — XLA inserts the gradient all-reduce over ICI (the reference's
+DDP equivalent, SURVEY §2.8). Gradient accumulation is optax
+`MultiSteps`-style folding done here explicitly so the accumulation loop also
+stays on device (reference: `trainer.yaml:47-50` accumulate_grad_batches).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import batch_sharding, replicated
+from .speaker_task import SpeakerTask
+from .state import TrainState
+
+__all__ = ["make_train_step", "make_eval_step", "make_embed_fn"]
+
+
+def make_train_step(
+    task: SpeakerTask,
+    mesh: Optional[Mesh] = None,
+    accumulate_steps: int = 1,
+) -> Callable:
+    """Returns jitted step(state, batch) -> (state, metrics).
+
+    batch: dict with 'features' [B, ...], optional 'mask' [B, T], 'labels'
+    [B]. With accumulate_steps > 1 the batch is split into that many
+    microbatches along axis 0 and gradients are averaged on device.
+    """
+
+    def loss_for_grad(params, model_state, batch, rng):
+        loss, aux = task.loss_fn(params, model_state, batch, rng, train=True)
+        return loss, aux
+
+    grad_fn = jax.value_and_grad(loss_for_grad, has_aux=True)
+
+    def step(state: TrainState, batch: Dict[str, jax.Array]):
+        new_rng, step_rng = jax.random.split(state.rng)
+
+        if accumulate_steps == 1:
+            (loss, aux), grads = grad_fn(
+                state.params, state.model_state, batch, step_rng
+            )
+            metrics = aux["metrics"]
+            new_model_state = aux["model_state"]
+        else:
+            micro = jax.tree.map(
+                lambda x: x.reshape(
+                    (accumulate_steps, x.shape[0] // accumulate_steps)
+                    + x.shape[1:]
+                ),
+                batch,
+            )
+            rngs = jax.random.split(step_rng, accumulate_steps)
+
+            def body(carry, inp):
+                grads_acc, model_state, loss_acc = carry
+                mb, r = inp
+                (loss, aux), grads = grad_fn(
+                    state.params, model_state, mb, r
+                )
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                return (
+                    grads_acc,
+                    aux["model_state"],
+                    loss_acc + loss,
+                ), aux["metrics"]
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, new_model_state, loss_sum), all_metrics = jax.lax.scan(
+                body, (zero_grads, state.model_state, 0.0), (micro, rngs)
+            )
+            grads = jax.tree.map(lambda g: g / accumulate_steps, grads)
+            metrics = jax.tree.map(lambda m: m.mean(), all_metrics)
+            loss = loss_sum / accumulate_steps
+
+        new_state = state.apply_gradients(
+            grads, new_model_state
+        ).replace(rng=new_rng)
+        return new_state, metrics
+
+    if mesh is not None:
+        state_sh = replicated(mesh)
+        batch_sh = batch_sharding(mesh)
+        return jax.jit(
+            step,
+            in_shardings=(state_sh, batch_sh),
+            out_shardings=(state_sh, state_sh),
+            donate_argnums=(0,),
+        )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(task: SpeakerTask, mesh: Optional[Mesh] = None) -> Callable:
+    """Returns jitted eval_step(state, batch) -> metrics (no param update)."""
+
+    def step(state: TrainState, batch):
+        loss, aux = task.loss_fn(
+            state.params,
+            state.model_state,
+            batch,
+            jax.random.PRNGKey(0),
+            train=False,
+        )
+        return aux["metrics"]
+
+    if mesh is not None:
+        return jax.jit(
+            step,
+            in_shardings=(replicated(mesh), batch_sharding(mesh)),
+            out_shardings=replicated(mesh),
+        )
+    return jax.jit(step)
+
+
+def make_embed_fn(task: SpeakerTask, mesh: Optional[Mesh] = None) -> Callable:
+    """Returns jitted embed(state, features, mask) -> [B, D] embeddings."""
+
+    def embed(state: TrainState, features, mask=None):
+        return task.embed_fn(state.params, state.model_state, features, mask)
+
+    if mesh is not None:
+        return jax.jit(
+            embed,
+            in_shardings=(
+                replicated(mesh),
+                batch_sharding(mesh),
+                batch_sharding(mesh),
+            ),
+            out_shardings=batch_sharding(mesh),
+        )
+    return jax.jit(embed)
