@@ -26,26 +26,52 @@ def main():
     from __graft_entry__ import entry
 
     forward, example_args = entry()
-    fn = jax.jit(forward)
 
-    batch = example_args[0].shape[0]
+    *head, example_wav = example_args
+    batch = example_wav.shape[0]
     rng = np.random.default_rng(0)
-    wav = jnp.asarray(
-        rng.normal(size=example_args[0].shape).astype(np.float32)
-    )
 
-    # compile + warmup
-    out = fn(wav)
-    jax.block_until_ready(out)
+    # Measurement notes for this machine's device transport (remote-TPU
+    # tunnel): it memoizes identical (program, args) requests, so the only
+    # trustworthy timing is (a) iterations chained inside ONE program via
+    # fori_loop — the device must execute all of them — and (b) every timed
+    # request made with never-seen-before input data. The n vs 2n
+    # differential cancels fixed per-request overhead.
+    @jax.jit
+    def run(n, *args):
+        *h, w = args
 
-    # measure
-    n_iters = 20
-    start = time.perf_counter()
-    for _ in range(n_iters):
-        out = fn(wav)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - start
+        def body(i, w_):
+            emb = forward(*h, w_)
+            # scalar feedback keeps iterations serially dependent
+            return w_ * (1.0 + 1e-20 * emb.sum())
 
+        return jax.lax.fori_loop(0, n, body, w).sum()  # scalar result
+
+    def fresh_wav():
+        return jnp.asarray(
+            rng.normal(size=example_wav.shape).astype(np.float32)
+        )
+
+    # compile once (dynamic loop bound -> a single program for any n);
+    # float() forces a device->host transfer, the only reliable execution
+    # barrier on this transport (block_until_ready resolves futures lazily)
+    float(run(1, *head, fresh_wav()))
+
+    n_iters = 64
+
+    def timed(n):
+        w = fresh_wav()
+        start = time.perf_counter()
+        float(run(n, *head, w))
+        return time.perf_counter() - start
+
+    # min over trials suppresses transport noise; differential cancels
+    # fixed per-request overhead
+    t_n = min(timed(n_iters) for _ in range(2))
+    t_2n = min(timed(2 * n_iters) for _ in range(2))
+
+    elapsed = max(t_2n - t_n, 1e-9)
     utt_per_sec = n_iters * batch / elapsed
     realtime_factor = utt_per_sec * CLIP_SECONDS
     print(

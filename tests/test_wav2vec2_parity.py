@@ -1,0 +1,218 @@
+"""Activation-level parity: our flax wav2vec2 vs HuggingFace torch wav2vec2
+with identical (randomly initialized) weights ported through the converter.
+This is the bit-comparability harness SURVEY §7.3 calls for, minus network
+access: HF models are constructed from config (no download)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from w2v2_speaker_tpu.models.wav2vec2 import (
+    Wav2Vec2Config,
+    Wav2Vec2LiteEncoder,
+    Wav2Vec2Model,
+    feat_extract_output_lengths,
+)
+from w2v2_speaker_tpu.models.wav2vec2_convert import hf_state_dict_to_flax
+
+TINY = dict(
+    conv_dim=(32, 32, 32),
+    conv_kernel=(10, 3, 3),
+    conv_stride=(5, 2, 2),
+    hidden_size=64,
+    num_layers=3,
+    num_heads=4,
+    intermediate_size=128,
+    num_conv_pos_embeddings=16,
+    num_conv_pos_embedding_groups=4,
+)
+
+
+def _hf_model(**overrides):
+    from transformers import Wav2Vec2Config as HFConfig
+    from transformers import Wav2Vec2Model as HFModel
+
+    hf_kwargs = dict(
+        conv_dim=list(TINY["conv_dim"]),
+        conv_kernel=list(TINY["conv_kernel"]),
+        conv_stride=list(TINY["conv_stride"]),
+        hidden_size=TINY["hidden_size"],
+        num_hidden_layers=TINY["num_layers"],
+        num_attention_heads=TINY["num_heads"],
+        intermediate_size=TINY["intermediate_size"],
+        num_conv_pos_embeddings=TINY["num_conv_pos_embeddings"],
+        num_conv_pos_embedding_groups=TINY["num_conv_pos_embedding_groups"],
+        num_feat_extract_layers=len(TINY["conv_dim"]),
+        do_stable_layer_norm=False,
+        feat_extract_norm="group",
+        conv_bias=False,
+    )
+    hf_kwargs.update(overrides)
+    torch.manual_seed(0)
+    model = HFModel(HFConfig(**hf_kwargs))
+    model.eval()
+    return model
+
+
+def _flax_params(hf, **cfg_overrides):
+    cfg = Wav2Vec2Config(**{**TINY, **cfg_overrides})
+    params = hf_state_dict_to_flax(hf.state_dict(), cfg)
+    return cfg, params
+
+
+@pytest.fixture(scope="module")
+def base_pair():
+    hf = _hf_model()
+    cfg, params = _flax_params(hf)
+    return hf, cfg, params
+
+
+def test_full_forward_parity(base_pair):
+    hf, cfg, params = base_pair
+    rng = np.random.default_rng(0)
+    wav = rng.normal(size=(2, 3200)).astype(np.float32)
+
+    with torch.no_grad():
+        want = hf(torch.from_numpy(wav)).last_hidden_state.numpy()
+
+    model = Wav2Vec2Model(cfg=cfg)
+    got, frame_mask = model.apply({"params": params}, jnp.asarray(wav))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_feature_encoder_parity(base_pair):
+    hf, cfg, params = base_pair
+    rng = np.random.default_rng(1)
+    wav = rng.normal(size=(2, 1600)).astype(np.float32)
+    with torch.no_grad():
+        want = (
+            hf.feature_extractor(torch.from_numpy(wav))
+            .transpose(1, 2)
+            .numpy()
+        )
+    lite = Wav2Vec2LiteEncoder(cfg=cfg)
+    got, _ = lite.apply(
+        {"params": {"feature_encoder": params["feature_encoder"]}},
+        jnp.asarray(wav),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_padded_batch_matches_hf_attention_mask(base_pair):
+    """Padding + mask must reproduce HF's attention_mask semantics."""
+    hf, cfg, params = base_pair
+    rng = np.random.default_rng(2)
+    n1, n2 = 3200, 2100
+    wav1 = rng.normal(size=n1).astype(np.float32)
+    wav2 = rng.normal(size=n2).astype(np.float32)
+
+    padded = np.zeros((2, n1), dtype=np.float32)
+    padded[0] = wav1
+    padded[1, :n2] = wav2
+    wav_mask = np.zeros((2, n1), dtype=bool)
+    wav_mask[0] = True
+    wav_mask[1, :n2] = True
+
+    with torch.no_grad():
+        want = hf(
+            torch.from_numpy(padded),
+            attention_mask=torch.from_numpy(wav_mask),
+        ).last_hidden_state.numpy()
+
+    model = Wav2Vec2Model(cfg=cfg)
+    got, frame_mask = model.apply(
+        {"params": params}, jnp.asarray(padded), jnp.asarray(wav_mask)
+    )
+    frame_mask = np.asarray(frame_mask)
+    # compare only valid frames of each sequence
+    for b in range(2):
+        L = frame_mask[b].sum()
+        np.testing.assert_allclose(
+            np.asarray(got)[b, :L], want[b, :L], rtol=1e-4, atol=1e-4
+        )
+
+
+def test_frame_length_formula(base_pair):
+    hf, cfg, params = base_pair
+    for n in [400, 1000, 3200, 48000]:
+        want = int(
+            hf._get_feat_extract_output_lengths(torch.tensor(n)).item()
+        )
+        assert feat_extract_output_lengths(n, cfg) == want
+
+
+def test_base_frame_formula_matches_reference_hardcode():
+    """Reference hard-codes floor((n-80)/320) for BASE
+    (wav2vec2_fc_letter.py:146) — verify our per-layer formula agrees for
+    realistic lengths."""
+    base = Wav2Vec2Config()
+    for n in [16000, 48000, 100000]:
+        assert feat_extract_output_lengths(n, base) == (n - 80) // 320 - 1 or (
+            feat_extract_output_lengths(n, base) == (n - 80) // 320
+        )
+
+
+def test_hidden_states_output(base_pair):
+    hf, cfg, params = base_pair
+    rng = np.random.default_rng(3)
+    wav = rng.normal(size=(1, 3200)).astype(np.float32)
+    with torch.no_grad():
+        out = hf(torch.from_numpy(wav), output_hidden_states=True)
+    model = Wav2Vec2Model(cfg=cfg)
+    got, _, hiddens = model.apply(
+        {"params": params}, jnp.asarray(wav), output_hidden_states=True
+    )
+    assert len(hiddens) == len(out.hidden_states)
+    for mine, ref in zip(hiddens, out.hidden_states):
+        np.testing.assert_allclose(
+            np.asarray(mine), ref.numpy(), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_cls_token_insertion(base_pair):
+    """CLS-token path: frames + 1 outputs, CLS at position 0
+    (models/wav2vec2.py:126-140)."""
+    hf, cfg, params = base_pair
+    rng = np.random.default_rng(4)
+    wav = rng.normal(size=(2, 3200)).astype(np.float32)
+    plain = Wav2Vec2Model(cfg=cfg)
+    no_cls, _ = plain.apply({"params": params}, jnp.asarray(wav))
+    model = Wav2Vec2Model(cfg=cfg, insert_cls_token=True)
+    with_cls, _ = model.apply({"params": params}, jnp.asarray(wav))
+    assert with_cls.shape[1] == no_cls.shape[1] + 1
+
+    # reproduce with HF pieces: feature_extractor -> projection -> cat CLS
+    # -> encoder
+    with torch.no_grad():
+        f = hf.feature_extractor(torch.from_numpy(wav)).transpose(1, 2)
+        proj, _ = hf.feature_projection(f)
+        cls = torch.ones((2, 1, TINY["hidden_size"]))
+        seq = torch.cat([cls, proj], dim=1)
+        want = hf.encoder(seq).last_hidden_state.numpy()
+    np.testing.assert_allclose(
+        np.asarray(with_cls), want, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_large_style_config_parity():
+    """Pre-norm (stable layer norm) + conv bias + per-layer conv LN (LARGE
+    architecture family)."""
+    hf = _hf_model(
+        do_stable_layer_norm=True, feat_extract_norm="layer", conv_bias=True
+    )
+    cfg, params = _flax_params(
+        hf,
+        do_stable_layer_norm=True,
+        feat_extract_norm="layer",
+        conv_bias=True,
+    )
+    rng = np.random.default_rng(5)
+    wav = rng.normal(size=(2, 3200)).astype(np.float32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(wav)).last_hidden_state.numpy()
+    model = Wav2Vec2Model(cfg=cfg)
+    got, _ = model.apply({"params": params}, jnp.asarray(wav))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)

@@ -113,7 +113,12 @@ class SpeakerTask:
 
         loss, preds = self._compute_loss(out, batch, loss_rng)
         metrics = {"loss": loss}
-        if labels is not None and preds is not None and preds.ndim == 2:
+        if (
+            labels is not None
+            and preds is not None
+            and preds.ndim == 2
+            and preds.shape[0] == labels.shape[0]
+        ):
             metrics["accuracy"] = (
                 (jnp.argmax(preds, axis=-1) == labels).astype(jnp.float32).mean()
             )
@@ -132,7 +137,9 @@ class SpeakerTask:
             b, t, c = logits.shape
             flat_logits = logits.reshape(b * t, c)
             flat_labels = jnp.repeat(labels, t)
-            mask = batch.get("mask")
+            # models that downsample time (wav2vec2) return their own
+            # frame-level mask; the batch mask is input-resolution
+            mask = out.get("frame_mask", batch.get("mask"))
             if mask is None:
                 return losses.cross_entropy(flat_logits, flat_labels)
             import optax
@@ -167,7 +174,7 @@ class SpeakerTask:
             # CTC over per-frame speaker logits; target = single speaker
             # label shifted +1 (blank stays 0)
             logits = out["logits"]  # [B, T, C+1]
-            mask = batch.get("mask")
+            mask = out.get("frame_mask", batch.get("mask"))
             if mask is not None:
                 logit_lengths = mask.sum(axis=-1).astype(jnp.int32)
             else:
