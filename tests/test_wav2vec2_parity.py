@@ -101,8 +101,12 @@ def test_feature_encoder_parity(base_pair):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
 
 
-def test_padded_batch_matches_hf_attention_mask(base_pair):
-    """Padding + mask must reproduce HF's attention_mask semantics."""
+def test_padded_batch_matches_hf_unpadded_per_sample(base_pair):
+    """Our padded+masked batch must reproduce HF's *unpadded* per-sample
+    forward — a stronger contract than HF's own attention_mask path, whose
+    conv group norm leaks padding into the statistics. The reference
+    evaluates unpadded at batch 1, so this is the parity that preserves its
+    EER (SURVEY §7.3 masking budget)."""
     hf, cfg, params = base_pair
     rng = np.random.default_rng(2)
     n1, n2 = 3200, 2100
@@ -117,22 +121,21 @@ def test_padded_batch_matches_hf_attention_mask(base_pair):
     wav_mask[1, :n2] = True
 
     with torch.no_grad():
-        want = hf(
-            torch.from_numpy(padded),
-            attention_mask=torch.from_numpy(wav_mask),
-        ).last_hidden_state.numpy()
+        want1 = hf(torch.from_numpy(wav1[None])).last_hidden_state.numpy()[0]
+        want2 = hf(torch.from_numpy(wav2[None])).last_hidden_state.numpy()[0]
 
     model = Wav2Vec2Model(cfg=cfg)
     got, frame_mask = model.apply(
         {"params": params}, jnp.asarray(padded), jnp.asarray(wav_mask)
     )
     frame_mask = np.asarray(frame_mask)
-    # compare only valid frames of each sequence
-    for b in range(2):
-        L = frame_mask[b].sum()
-        np.testing.assert_allclose(
-            np.asarray(got)[b, :L], want[b, :L], rtol=1e-4, atol=1e-4
-        )
+    got = np.asarray(got)
+    np.testing.assert_allclose(
+        got[0, : frame_mask[0].sum()], want1, rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        got[1, : frame_mask[1].sum()], want2, rtol=1e-4, atol=1e-4
+    )
 
 
 def test_frame_length_formula(base_pair):

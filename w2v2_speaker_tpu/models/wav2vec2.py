@@ -108,15 +108,56 @@ def feat_extract_output_lengths(
     return lengths
 
 
+class _MaskedChannelNorm(nn.Module):
+    """GroupNorm(num_groups=C) with statistics over valid frames only.
+
+    Param names match flax nn.GroupNorm ('scale'/'bias') so HF checkpoint
+    conversion is identical for both code paths.
+    """
+
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, lengths: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        t = x.shape[1]
+        m = (
+            jnp.arange(t)[None, :] < lengths[:, None]
+        ).astype(jnp.float32)[:, :, None]
+        n = jnp.maximum(m.sum(axis=1, keepdims=True), 1.0)
+        x32 = x.astype(jnp.float32)
+        mean = (x32 * m).sum(axis=1, keepdims=True) / n
+        var = ((x32 - mean) ** 2 * m).sum(axis=1, keepdims=True) / n
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
 class ConvFeatureEncoder(nn.Module):
-    """Raw waveform [B, N] -> features [B, T, conv_dim[-1]]."""
+    """Raw waveform [B, N] -> features [B, T, conv_dim[-1]].
+
+    With a waveform mask, the first-layer group norm uses *masked*
+    per-channel statistics (valid frames only). HF normalizes over all
+    frames including ones computed from padding, so HF's batched-masked
+    inference differs from its own unpadded inference; the reference
+    evaluates unpadded at batch 1 (`speaker_recognition_module.py:468`), and
+    masked statistics reproduce exactly that behavior for padded batches.
+    """
 
     cfg: Wav2Vec2Config
 
     @nn.compact
-    def __call__(self, wav: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self,
+        wav: jax.Array,
+        wav_mask: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> jax.Array:
         dtype = jnp.dtype(self.cfg.dtype)
         x = wav[:, :, None].astype(dtype)  # [B, N, 1]
+        lengths = None if wav_mask is None else wav_mask.sum(axis=-1)
         for i, (c, k, s) in enumerate(
             zip(self.cfg.conv_dim, self.cfg.conv_kernel, self.cfg.conv_stride)
         ):
@@ -129,14 +170,21 @@ class ConvFeatureEncoder(nn.Module):
                 dtype=dtype,
                 name=f"conv_{i}",
             )(x)
+            if lengths is not None:
+                lengths = (lengths - k) // s + 1
             if i == 0 and self.cfg.feat_extract_norm == "group":
                 # HF GroupNorm(num_groups=C, C) == per-channel norm over time
-                x = nn.GroupNorm(
-                    num_groups=self.cfg.conv_dim[0],
-                    epsilon=1e-5,
-                    dtype=dtype,
-                    name="group_norm",
-                )(x)
+                if lengths is None:
+                    x = nn.GroupNorm(
+                        num_groups=self.cfg.conv_dim[0],
+                        epsilon=1e-5,
+                        dtype=dtype,
+                        name="group_norm",
+                    )(x)
+                else:
+                    x = _MaskedChannelNorm(
+                        epsilon=1e-5, dtype=dtype, name="group_norm"
+                    )(x, lengths)
             elif self.cfg.feat_extract_norm == "layer":
                 x = nn.LayerNorm(
                     epsilon=self.cfg.layer_norm_eps,
@@ -466,7 +514,7 @@ class Wav2Vec2Model(nn.Module):
     ):
         cfg = self.cfg
         features = ConvFeatureEncoder(cfg, name="feature_encoder")(
-            wav, train=train
+            wav, wav_mask, train=train
         )
 
         frame_mask = None
@@ -560,7 +608,7 @@ class Wav2Vec2LiteEncoder(nn.Module):
     @nn.compact
     def __call__(self, wav, wav_mask=None, train: bool = False):
         features = ConvFeatureEncoder(self.cfg, name="feature_encoder")(
-            wav, train=train
+            wav, wav_mask, train=train
         )
         frame_mask = None
         if wav_mask is not None:
