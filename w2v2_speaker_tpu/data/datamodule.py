@@ -1,0 +1,405 @@
+"""VoxCeleb data module: one-time preparation + streaming train/val/test loaders.
+
+Host-side orchestration mirroring the reference's `VoxCelebDataModule`
+(`/root/reference/src/data/modules/speaker/voxceleb.py:125-822`):
+
+- `prepare_data`: discover `spk/yt/utt.wav` files, split test speakers out by
+  the trial file (voxceleb.py:1442-1520), split train/val either `equal`
+  (per-speaker youtube-id ratio split, voxceleb.py:1582-1681) or `different`
+  (held-out speakers, voxceleb.py:1527-1579), write tar shards per split and
+  generate balanced validation pairs (voxceleb.py:626-775)
+- `setup`/loaders: shard reader -> preprocessing pipeline (chunk selection,
+  normalization, augmentation) -> batch processor -> background-thread
+  prefetch queue of fixed-shape numpy batches
+- shard-meta consistency asserts: split disjointness and speaker-index
+  agreement (voxceleb.py:313-341)
+
+Dataloader-worker processes are replaced by a prefetch thread per loader: the
+heavy lifting (decode + DSP) is numpy releasing the GIL, and batches overlap
+with device steps; multi-host TPU jobs split shards per host instead of per
+worker (SURVEY §5.8).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import queue as queue_mod
+import threading
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .augment import Augmenter
+from .batching import RandomBatchProcessor
+from .chunks import ChunkSelector
+from .io import load_raw_audio
+from .normalize import normalize_waveform
+from .samples import SpeakerSample, collate_speaker_batch
+from .shards import ShardReader, read_meta, write_speaker_shards
+from .trials import (
+    EvaluationPair,
+    generate_validation_pairs,
+    load_evaluation_pairs,
+    save_evaluation_pairs,
+)
+
+__all__ = ["VoxCelebConfig", "VoxCelebDataModule", "Prefetcher"]
+
+
+@dataclass
+class VoxCelebConfig:
+    data_dir: pathlib.Path  # root with spk/yt/utt.wav files
+    shards_dir: pathlib.Path  # output for shard sets
+    test_trial_path: Optional[pathlib.Path] = None  # veri_test2.txt style
+    train_val_split_mode: str = "equal"  # 'equal' | 'different'
+    train_val_ratio: float = 0.97  # fraction of data (or speakers) for train
+    eer_validation_pairs: int = 1000
+    samples_per_shard: int = 100
+    sequential_same_speaker_samples: int = 1
+    min_unique_speakers_per_shard: int = 1
+    use_gzip_compression: bool = False
+    shuffle_shards: bool = True
+    queue_size: int = 256
+    batch_size: int = 64
+    chunk_length_sec: float = 3.0
+    chunk_strategy: str = "random"
+    normalize_input: bool = True
+    augmenter: Optional[Augmenter] = None
+    limit_samples: Optional[int] = None  # deterministic small-data runs
+    seed: int = 123
+    host_id: int = 0
+    num_hosts: int = 1
+
+
+class Prefetcher:
+    """Background-thread prefetch over a batch generator."""
+
+    def __init__(self, gen_fn: Callable[[], Iterator[Dict]], depth: int = 4):
+        self.gen_fn = gen_fn
+        self.depth = depth
+
+    def __iter__(self):
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.depth)
+        sentinel = object()
+        error: List[BaseException] = []
+
+        def worker():
+            try:
+                for item in self.gen_fn():
+                    q.put(item)
+            except BaseException as e:  # surfaced in the consumer
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
+
+
+def _discover_wavs(root: pathlib.Path) -> List[str]:
+    """Relative 'spk/yt/utt' keys for every wav under root."""
+    return sorted(
+        str(p.relative_to(root))[: -len(".wav")]
+        for p in root.rglob("*.wav")
+    )
+
+
+class VoxCelebDataModule:
+    def __init__(self, cfg: VoxCelebConfig):
+        self.cfg = cfg
+        self.cfg.data_dir = pathlib.Path(cfg.data_dir)
+        self.cfg.shards_dir = pathlib.Path(cfg.shards_dir)
+        self._meta: Optional[Dict] = None
+
+    # ------------------------------------------------------------ prepare
+
+    def prepare_data(self) -> None:
+        """One-time: split -> shard -> validate -> generate val pairs."""
+        cfg = self.cfg
+        out = cfg.shards_dir
+        if (out / "prepared.json").exists():
+            return
+        out.mkdir(parents=True, exist_ok=True)
+
+        keys = _discover_wavs(cfg.data_dir)
+        if cfg.limit_samples:
+            keys = keys[: cfg.limit_samples]
+        if not keys:
+            raise ValueError(f"no wav files under {cfg.data_dir}")
+
+        # test split: every speaker appearing in the trial file
+        test_keys: List[str] = []
+        if cfg.test_trial_path is not None:
+            trial_pairs = load_evaluation_pairs(cfg.test_trial_path)
+            test_speakers = {
+                p.sample1_id.split("/")[0] for p in trial_pairs
+            } | {p.sample2_id.split("/")[0] for p in trial_pairs}
+            test_keys = [k for k in keys if k.split("/")[0] in test_speakers]
+            keys = [k for k in keys if k.split("/")[0] not in test_speakers]
+
+        train_keys, val_keys = self._split_train_val(keys)
+
+        # write shard sets
+        def to_samples(key_list, idx_map):
+            for k in key_list:
+                wav = load_raw_audio(cfg.data_dir / f"{k}.wav")
+                yield SpeakerSample(
+                    key=k, wav=wav, ground_truth=idx_map.get(k.split("/")[0], -1)
+                )
+
+        train_speakers = sorted({k.split("/")[0] for k in train_keys})
+        idx_map = {s: i for i, s in enumerate(train_speakers)}
+
+        for split, split_keys in (
+            ("train", train_keys),
+            ("val", val_keys),
+            ("test", test_keys),
+        ):
+            if not split_keys:
+                continue
+            d = out / split
+            write_speaker_shards(
+                to_samples(split_keys, idx_map),
+                d,
+                samples_per_shard=cfg.samples_per_shard,
+                sequential_same_speaker_samples=(
+                    cfg.sequential_same_speaker_samples
+                    if split == "train"
+                    else 1
+                ),
+                min_unique_speakers_per_shard=(
+                    cfg.min_unique_speakers_per_shard
+                    if split == "train"
+                    else 1
+                ),
+                use_gzip=cfg.use_gzip_compression,
+                discard_partial_shards=(split == "train"),
+                seed=cfg.seed,
+            )
+
+        self._assert_split_consistency(out)
+
+        # validation pairs
+        if val_keys:
+            per_speaker: Dict[str, List[str]] = {}
+            for k in val_keys:
+                per_speaker.setdefault(k.split("/")[0], []).append(k)
+            if len(per_speaker) >= 2:
+                pairs = generate_validation_pairs(
+                    per_speaker,
+                    num_pairs=min(
+                        self.cfg.eer_validation_pairs,
+                        2 * len(val_keys),
+                    ),
+                    seed=cfg.seed,
+                )
+                save_evaluation_pairs(pairs, out / "val_pairs.txt")
+
+        with open(out / "prepared.json", "w") as f:
+            json.dump(
+                {
+                    "num_train": len(train_keys),
+                    "num_val": len(val_keys),
+                    "num_test": len(test_keys),
+                    "num_speakers": len(train_speakers),
+                },
+                f,
+            )
+
+    def _split_train_val(self, keys: List[str]):
+        cfg = self.cfg
+        rng = np.random.default_rng(cfg.seed)
+        if cfg.train_val_split_mode == "different":
+            # held-out speakers (voxceleb.py:1527-1579)
+            speakers = sorted({k.split("/")[0] for k in keys})
+            rng.shuffle(speakers)
+            n_train = max(1, round(len(speakers) * cfg.train_val_ratio))
+            train_spk = set(speakers[:n_train])
+            train = [k for k in keys if k.split("/")[0] in train_spk]
+            val = [k for k in keys if k.split("/")[0] not in train_spk]
+            return train, val
+        if cfg.train_val_split_mode == "equal":
+            # per-speaker youtube-id ratio split (voxceleb.py:1582-1681):
+            # val gets whole youtube sessions so train/val never share a
+            # recording session
+            by_spk_yt: Dict[str, Dict[str, List[str]]] = {}
+            for k in keys:
+                spk, yt = k.split("/")[0], k.split("/")[1]
+                by_spk_yt.setdefault(spk, {}).setdefault(yt, []).append(k)
+            train, val = [], []
+            for spk in sorted(by_spk_yt):
+                yts = sorted(by_spk_yt[spk])
+                rng.shuffle(yts)
+                n_total = sum(len(by_spk_yt[spk][y]) for y in yts)
+                target_val = max(0, round(n_total * (1 - cfg.train_val_ratio)))
+                taken = 0
+                for y in yts:
+                    bucket = by_spk_yt[spk][y]
+                    if taken < target_val and len(yts) > 1:
+                        val.extend(bucket)
+                        taken += len(bucket)
+                    else:
+                        train.extend(bucket)
+            return train, val
+        raise ValueError(
+            f"unknown train_val_split_mode {cfg.train_val_split_mode}"
+        )
+
+    @staticmethod
+    def _assert_split_consistency(out: pathlib.Path) -> None:
+        """Split disjointness + speaker-index agreement
+        (voxceleb.py:313-341)."""
+        seen: Dict[str, str] = {}
+        idx_maps = []
+        for split in ("train", "val", "test"):
+            d = out / split
+            if not d.exists():
+                continue
+            meta = read_meta(d)
+            idx_maps.append((split, meta["speaker_id_to_idx"]))
+            for s in ShardReader(ShardReader.discover(d)):
+                if s.key in seen:
+                    raise AssertionError(
+                        f"sample {s.key} in both {seen[s.key]} and {split}"
+                    )
+                seen[s.key] = split
+
+    # ------------------------------------------------------------ loaders
+
+    @property
+    def meta(self) -> Dict:
+        if self._meta is None:
+            self._meta = read_meta(self.cfg.shards_dir / "train")
+        return self._meta
+
+    @property
+    def num_speakers(self) -> int:
+        with open(self.cfg.shards_dir / "prepared.json") as f:
+            return json.load(f)["num_speakers"]
+
+    def val_evaluation_pairs(self) -> List[EvaluationPair]:
+        path = self.cfg.shards_dir / "val_pairs.txt"
+        return load_evaluation_pairs(path) if path.exists() else []
+
+    def test_evaluation_pairs(self) -> List[EvaluationPair]:
+        if self.cfg.test_trial_path is None:
+            return []
+        return load_evaluation_pairs(self.cfg.test_trial_path)
+
+    def _speaker_idx_map(self) -> Dict[str, int]:
+        return self.meta["speaker_id_to_idx"]
+
+    def _pipeline(
+        self,
+        split: str,
+        train: bool,
+        chunk_strategy: Optional[str] = None,
+    ) -> Iterator[SpeakerSample]:
+        cfg = self.cfg
+        d = cfg.shards_dir / split
+        reader = ShardReader(
+            ShardReader.discover(d),
+            shuffle_shards=cfg.shuffle_shards and train,
+            seed=cfg.seed,
+            host_id=cfg.host_id,
+            num_hosts=cfg.num_hosts,
+        )
+        selector = ChunkSelector(
+            chunk_strategy or cfg.chunk_strategy, cfg.chunk_length_sec
+        )
+        rng = np.random.default_rng(cfg.seed + (0 if train else 1))
+        idx_map = self._speaker_idx_map()
+
+        for sample in reader:
+            if sample.ground_truth < 0:
+                sample.ground_truth = idx_map.get(
+                    sample.key.split("/")[0], -1
+                )
+            if not np.isfinite(sample.wav).all():
+                raise ValueError(f"NaN/inf in decoded sample {sample.key}")
+            processed = [sample]
+            if train and cfg.augmenter is not None:
+                processed = [
+                    s for p in processed for s in cfg.augmenter(p)
+                ]
+            out = []
+            for s in processed:
+                for chunk in selector(s.wav, rng):
+                    wav = (
+                        normalize_waveform(chunk)
+                        if cfg.normalize_input
+                        else chunk
+                    )
+                    out.append(
+                        SpeakerSample(s.key, wav.astype(np.float32),
+                                      s.ground_truth, s.meta)
+                    )
+            yield from out
+
+    def train_batches(
+        self, batch_processor=None, prefetch_depth: int = 4
+    ) -> Iterable[Dict]:
+        cfg = self.cfg
+        proc = batch_processor or RandomBatchProcessor(
+            max_batch_size=cfg.batch_size,
+            max_queue_size=cfg.queue_size,
+            collate_fn=collate_speaker_batch,
+            seed=cfg.seed,
+        )
+        return Prefetcher(
+            lambda: proc(self._pipeline("train", train=True)),
+            depth=prefetch_depth,
+        )
+
+    def val_batches(self, chunk_strategy: str = "start") -> Iterable[Dict]:
+        """First-3s crops, sequential batches (the reference's val protocol:
+        first-chunk crop, `wav2vec_base_pipeline.yaml`)."""
+        cfg = self.cfg
+
+        def gen():
+            batch: List[SpeakerSample] = []
+            for s in self._pipeline("val", train=False, chunk_strategy=chunk_strategy):
+                batch.append(s)
+                if len(batch) == cfg.batch_size:
+                    yield collate_speaker_batch(batch)
+                    batch = []
+            if batch:
+                yield collate_speaker_batch(batch)
+
+        return Prefetcher(gen)
+
+    def test_samples(self) -> Iterator[SpeakerSample]:
+        """Full-length utterances for embedding extraction (the reference's
+        bs=1 full-utterance protocol, here batched with masks by the eval
+        driver)."""
+        cfg = self.cfg
+        d = cfg.shards_dir / "test"
+        reader = ShardReader(ShardReader.discover(d))
+        for sample in reader:
+            wav = (
+                normalize_waveform(sample.wav)
+                if cfg.normalize_input
+                else sample.wav
+            )
+            yield SpeakerSample(
+                sample.key, wav.astype(np.float32), sample.ground_truth,
+                sample.meta,
+            )
+
+    def summary(self) -> str:
+        with open(self.cfg.shards_dir / "prepared.json") as f:
+            info = json.load(f)
+        return (
+            f"VoxCelebDataModule: {info['num_train']} train / "
+            f"{info['num_val']} val / {info['num_test']} test samples, "
+            f"{info['num_speakers']} train speakers"
+        )

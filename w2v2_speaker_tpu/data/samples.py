@@ -1,0 +1,127 @@
+"""Sample and batch containers for the host data pipeline.
+
+Numpy re-design of the reference's batch dataclasses
+(`/root/reference/src/data/modules/speaker/training_batch_speaker.py:27-248`,
+`speech/training_batch_speech.py:24-135`): samples carry a key, waveform (or
+features) and ground truth; collate functions right-pad to (optionally
+bucketed) static shapes and emit the dict batches the jitted train steps
+consume ('features'/'mask'/'labels' [+ 'keys' host-side]). There is no
+`.to(device)` — batches cross to the device via `parallel.mesh.shard_batch`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .collate import collate_pad_right
+
+__all__ = [
+    "SpeakerSample",
+    "PairedSample",
+    "SpeechSample",
+    "collate_speaker_batch",
+    "collate_paired_batch",
+    "collate_speech_batch",
+]
+
+
+@dataclass
+class SpeakerSample:
+    key: str  # 'spk/yt/utt' id
+    wav: np.ndarray  # [samples] float32 (or [frames, feats] features)
+    ground_truth: int  # speaker index
+    meta: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class PairedSample:
+    primary_key: str
+    primary_wav: np.ndarray
+    secondary_key: str
+    secondary_wav: np.ndarray
+    ground_truth: int  # 1 same speaker, 0 different
+
+
+@dataclass
+class SpeechSample:
+    key: str
+    wav: np.ndarray
+    transcription: str
+    tokens: Optional[np.ndarray] = None  # int labels (CTC targets)
+
+
+def collate_speaker_batch(
+    samples: Sequence[SpeakerSample],
+    pad_to_multiple: Optional[int] = None,
+    bucket_boundaries: Optional[Sequence[int]] = None,
+) -> Dict[str, Any]:
+    batch = collate_pad_right(
+        [s.wav for s in samples],
+        pad_to_multiple=pad_to_multiple,
+        bucket_boundaries=bucket_boundaries,
+        dtype=np.float32,
+    )
+    return {
+        "features": batch.values,
+        "mask": batch.mask,
+        "labels": np.asarray([s.ground_truth for s in samples], np.int32),
+        "keys": [s.key for s in samples],
+    }
+
+
+def collate_paired_batch(
+    samples: Sequence[PairedSample],
+    pad_to_multiple: Optional[int] = None,
+    bucket_boundaries: Optional[Sequence[int]] = None,
+) -> Dict[str, Any]:
+    a = collate_pad_right(
+        [s.primary_wav for s in samples],
+        pad_to_multiple=pad_to_multiple,
+        bucket_boundaries=bucket_boundaries,
+        dtype=np.float32,
+    )
+    b = collate_pad_right(
+        [s.secondary_wav for s in samples],
+        pad_to_multiple=pad_to_multiple,
+        bucket_boundaries=bucket_boundaries,
+        dtype=np.float32,
+    )
+    return {
+        "features_a": a.values,
+        "mask_a": a.mask,
+        "features_b": b.values,
+        "mask_b": b.mask,
+        "labels": np.asarray([s.ground_truth for s in samples], np.int32),
+        "keys": [
+            (s.primary_key, s.secondary_key) for s in samples
+        ],
+    }
+
+
+def collate_speech_batch(
+    samples: Sequence[SpeechSample],
+    pad_to_multiple: Optional[int] = None,
+    bucket_boundaries: Optional[Sequence[int]] = None,
+    label_pad_to_multiple: int = 8,
+) -> Dict[str, Any]:
+    batch = collate_pad_right(
+        [s.wav for s in samples],
+        pad_to_multiple=pad_to_multiple,
+        bucket_boundaries=bucket_boundaries,
+        dtype=np.float32,
+    )
+    tokens = [np.asarray(s.tokens, np.int32) for s in samples]
+    labels = collate_pad_right(
+        tokens, value=0, pad_to_multiple=label_pad_to_multiple, dtype=np.int32
+    )
+    return {
+        "features": batch.values,
+        "mask": batch.mask,
+        "labels": labels.values,
+        "label_lengths": labels.lengths,
+        "transcriptions": [s.transcription for s in samples],
+        "keys": [s.key for s in samples],
+    }
