@@ -1,0 +1,234 @@
+"""Runtime: config composition (Hydra grammar) + run.py / predict.py CLIs
+end-to-end on a synthetic on-disk dataset."""
+
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+
+from w2v2_speaker_tpu.runtime.config import ConfigError, load_config
+
+CONFIG_DIR = REPO / "config"
+SR = 16000
+
+
+# ------------------------------------------------------------------ config
+
+def test_default_composition():
+    cfg = load_config(CONFIG_DIR, "train_eval", [])
+    assert cfg["network"]["name"] == "wav2vec2_fc"
+    assert cfg["optim"]["loss"]["name"] == "cross_entropy"
+    assert cfg["optim"]["algo"]["name"] == "adam"
+    assert cfg["trainer"]["max_steps"] == 100000
+    assert cfg["data"]["module"]["name"] == "voxceleb"
+    # env default + interpolation
+    assert cfg["data"]["module"]["data_dir"].startswith("data/")
+    # random_uuid resolver
+    assert len(cfg["experiment_name"]) == 36
+
+
+def test_experiment_preset_overrides():
+    cfg = load_config(
+        CONFIG_DIR, "train_eval", ["+experiment=speaker_xvector"]
+    )
+    assert cfg["network"]["name"] == "xvector"
+    assert cfg["optim"]["algo"]["lr"] == pytest.approx(4e-4)
+    assert cfg["trainer"]["precision"] == "f32"
+    assert cfg["project_name"] == "xvector-sv-ce"
+
+
+def test_group_swap_and_dotted_override():
+    cfg = load_config(
+        CONFIG_DIR,
+        "train_eval",
+        [
+            "network=ecapa_tdnn",
+            "optim.loss=aam_softmax",
+            "trainer.max_steps=123",
+            "optim.algo.lr=0.5",
+            "network.lin_neurons=96",
+        ],
+    )
+    assert cfg["network"]["name"] == "ecapa_tdnn"
+    assert cfg["network"]["lin_neurons"] == 96
+    assert cfg["optim"]["loss"]["name"] == "aam_softmax"
+    assert cfg["trainer"]["max_steps"] == 123
+    assert cfg["optim"]["algo"]["lr"] == 0.5
+
+
+def test_env_resolver(monkeypatch):
+    monkeypatch.setenv("DATA_FOLDER", "/somewhere")
+    cfg = load_config(CONFIG_DIR, "train_eval", [])
+    assert cfg["data"]["module"]["data_dir"] == "/somewhere/voxceleb/wav"
+
+
+def test_divide_resolvers(tmp_path):
+    (tmp_path / "t.yaml").write_text(
+        "a: 10\nb: 4\nc: ${divide:${a},${b}}\nd: ${idivide:${a},${b}}\n"
+    )
+    cfg = load_config(tmp_path, "t", [])
+    assert cfg["c"] == 2.5
+    assert cfg["d"] == 2
+
+
+def test_bad_override_and_missing_group():
+    with pytest.raises(ConfigError):
+        load_config(CONFIG_DIR, "train_eval", ["notakeyvalue"])
+    with pytest.raises(ConfigError):
+        load_config(CONFIG_DIR, "train_eval", ["network=not_a_network"])
+    with pytest.raises(ConfigError):
+        load_config(CONFIG_DIR, "train_eval", ["+experiment=nope"])
+
+
+# --------------------------------------------------------------- run.py e2e
+
+def _build_corpus(root: pathlib.Path, n_spk=9, test_spk=3):
+    from w2v2_speaker_tpu.data.io import write_wav
+
+    rng = np.random.default_rng(0)
+    freqs = rng.uniform(200, 3500, size=(n_spk, 3))
+    wav_dir = root / "wav"
+    for s in range(n_spk):
+        for y in range(3):
+            for u in range(3):
+                t = np.arange(int(SR * rng.uniform(1.2, 1.8))) / SR
+                sig = sum(
+                    np.sin(2 * np.pi * f * t + rng.uniform(0, 6.28))
+                    for f in freqs[s]
+                )
+                wav = 0.2 * (sig + 0.4 * rng.normal(size=t.shape))
+                p = wav_dir / f"id{s:05d}/yt{y}/{u:05d}.wav"
+                p.parent.mkdir(parents=True, exist_ok=True)
+                write_wav(p, wav.astype(np.float32), SR)
+    test_ids = [f"id{s:05d}" for s in range(n_spk - test_spk, n_spk)]
+    lines = []
+    for i, spk in enumerate(test_ids):
+        lines.append(f"1 {spk}/yt0/00000.wav {spk}/yt1/00001.wav")
+        other = test_ids[(i + 1) % len(test_ids)]
+        lines.append(f"0 {spk}/yt0/00000.wav {other}/yt1/00002.wav")
+    (root / "trials.txt").write_text("\n".join(lines) + "\n")
+    return wav_dir, root / "trials.txt"
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("runtime_corpus")
+    return _build_corpus(root)
+
+
+def _common_overrides(corpus, tmp_path, extra):
+    wav_dir, trials = corpus
+    return [
+        f"data.module.data_dir={wav_dir}",
+        f"data.module.shards_dir={tmp_path / 'shards'}",
+        f"data.module.test_trial_path={trials}",
+        "data.module.train_val_ratio=0.7",
+        "data.module.eer_validation_pairs=12",
+        "data.shards.samples_per_shard=8",
+        "data.dataloader.batch_size=8",
+        "data.dataloader.test_batch_size=4",
+        "data.dataloader.test_pad_to_multiple=8000",
+        "data.pipeline.chunk_length_sec=1.0",
+        "trainer=debug_trainer",
+        "trainer.max_steps=12",
+        "trainer.val_check_interval=6",
+        f"trainer.checkpoint_dir={tmp_path / 'ckpt'}",
+        "seed=3",
+    ] + extra
+
+
+def test_run_dummy_experiment(corpus, tmp_path):
+    import run as run_cli
+
+    objective = run_cli.main(
+        _common_overrides(corpus, tmp_path, ["+experiment=speaker_dummy"])
+    )
+    assert 0.0 <= objective <= 1.0
+
+
+def test_run_xvector_small(corpus, tmp_path):
+    import run as run_cli
+
+    objective = run_cli.main(
+        _common_overrides(
+            corpus,
+            tmp_path,
+            [
+                "network=xvector",
+                "network.tdnn_channels=[24,24,48]",
+                "network.tdnn_kernel_sizes=[5,3,1]",
+                "network.tdnn_dilations=[1,2,1]",
+                "network.lin_neurons=24",
+                "network.n_mels=24",
+                "network.in_channels=24",
+                "optim.algo.lr=3e-3",
+                "trainer.max_steps=90",
+                "trainer.val_check_interval=45",
+                "trainer.limit_train_batches=null",
+            ],
+        )
+    )
+    assert 0.0 <= objective <= 0.35  # learns synthetic formant speakers
+
+
+def test_run_wav2vec2_tiny_aam(corpus, tmp_path):
+    import run as run_cli
+
+    objective = run_cli.main(
+        _common_overrides(
+            corpus,
+            tmp_path,
+            [
+                "+experiment=speaker_wav2vec2_aam",
+                "network.wav2vec2_size=tiny",
+                "network.layerdrop=0.0",
+                "trainer=debug_trainer",
+                "trainer.max_steps=8",
+                "trainer.val_check_interval=4",
+                f"trainer.checkpoint_dir={tmp_path / 'ckpt2'}",
+                "trainer.precision=f32",
+                "data.dataloader.batch_size=8",
+                "data.dataloader.test_batch_size=4",
+                "data.dataloader.test_pad_to_multiple=8000",
+            ],
+        )
+    )
+    assert 0.0 <= objective <= 1.0
+
+
+def test_predict_cli(corpus, tmp_path):
+    import predict as predict_cli
+
+    wav_dir, trials = corpus
+    # pair file with 2-column format over real files
+    pair_file = tmp_path / "pairs.txt"
+    pair_file.write_text(
+        "id00000/yt0/00000.wav id00000/yt0/00001.wav\n"
+        "id00000/yt0/00000.wav id00003/yt1/00002.wav\n"
+    )
+    score_file = predict_cli.main(
+        [
+            "network=xvector",
+            "network.tdnn_channels=[24,24,48]",
+            "network.tdnn_kernel_sizes=[5,3,1]",
+            "network.tdnn_dilations=[1,2,1]",
+            "network.lin_neurons=24",
+            "network.n_mels=24",
+            "network.in_channels=24",
+            "network.explicit_num_speakers=4",
+            f"predict_folder_path={wav_dir}",
+            f"pair_prediction_path={pair_file}",
+            "data.dataloader.test_batch_size=2",
+            "data.dataloader.test_pad_to_multiple=8000",
+        ]
+    )
+    lines = score_file.read_text().splitlines()
+    assert len(lines) == 2
+    for line in lines:
+        score, f1, f2 = line.split(" ")
+        assert 0.0 <= float(score) <= 1.0
+        assert f1.endswith(".wav")

@@ -1,0 +1,64 @@
+"""run.py end-to-end for the speech (LibriSpeech CTC) recipe."""
+
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+
+SR = 16000
+
+
+def _build_librispeech(root: pathlib.Path, n_spk=2, n_utt=6):
+    from w2v2_speaker_tpu.data.io import write_wav
+
+    rng = np.random.default_rng(0)
+    texts = ["HELLO WORLD", "GOOD DAY", "OPEN SOURCE", "SPEECH MODEL"]
+    for s in range(n_spk):
+        d = root / f"{100+s}" / "1000"
+        d.mkdir(parents=True, exist_ok=True)
+        lines = []
+        for u in range(n_utt):
+            utt_id = f"{100+s}-1000-{u:04d}"
+            dur = int(SR * rng.uniform(0.4, 0.8))
+            write_wav(
+                d / f"{utt_id}.wav",
+                rng.normal(0, 0.1, dur).astype(np.float32),
+                SR,
+            )
+            lines.append(f"{utt_id} {texts[u % len(texts)]}")
+        (d / f"{100+s}-1000.trans.txt").write_text("\n".join(lines) + "\n")
+
+
+def test_run_speech_ctc(tmp_path):
+    import run as run_cli
+
+    raw = tmp_path / "ls"
+    _build_librispeech(raw)
+    objective = run_cli.main(
+        [
+            "+experiment=speech_wav2vec2_ctc",
+            "network.wav2vec2_size=tiny",
+            "network.layerdrop=0.0",
+            f"data.module.train_dir={raw}",
+            f"data.module.val_clean_dir={raw}",
+            f"data.module.test_clean_dir={raw}",
+            "data.module.val_other_dir=null",
+            "data.module.test_other_dir=null",
+            f"data.module.shards_dir={tmp_path / 'shards'}",
+            "data.dataloader.train_max_num_samples=64000",
+            "data.dataloader.queue_size=12",
+            "data.dataloader.pad_to_multiple=1600",
+            "trainer=debug_trainer",
+            "trainer.max_steps=6",
+            "trainer.val_check_interval=3",
+            "trainer.precision=f32",
+            f"trainer.checkpoint_dir={tmp_path / 'ckpt'}",
+            "seed=1",
+        ]
+    )
+    # untrained tiny model: WER is bad but finite and the whole loop ran
+    assert np.isfinite(objective) and objective >= 0.0

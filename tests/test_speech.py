@@ -1,0 +1,271 @@
+"""Speech stack: tokenizer, LibriSpeech shards/module, CTC model + task,
+checkpointing, overfit smoke."""
+
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from w2v2_speaker_tpu.data.io import write_wav
+from w2v2_speaker_tpu.data.librispeech import (
+    LibriSpeechConfig,
+    LibriSpeechDataModule,
+    write_librispeech_shards,
+)
+from w2v2_speaker_tpu.data.tokenizer import CharTokenizer
+from w2v2_speaker_tpu.models.wav2vec2 import Wav2Vec2Config
+from w2v2_speaker_tpu.models.wav2vec2_speech import (
+    Wav2Vec2SpeechConfig,
+    Wav2Vec2SpeechModel,
+)
+from w2v2_speaker_tpu.train.speech_task import SpeechTask
+from w2v2_speaker_tpu.train.state import TrainState
+
+SR = 16000
+TINY = Wav2Vec2Config(
+    conv_dim=(16, 16),
+    conv_kernel=(10, 3),
+    conv_stride=(5, 2),
+    hidden_size=32,
+    num_layers=2,
+    num_heads=4,
+    intermediate_size=64,
+    num_conv_pos_embeddings=16,
+    num_conv_pos_embedding_groups=4,
+    layerdrop=0.0,
+    mask_time_prob=0.0,
+    hidden_dropout=0.0,
+    attention_dropout=0.0,
+    feat_proj_dropout=0.0,
+)
+
+
+# ----------------------------------------------------------------- tokenizer
+
+def test_tokenizer_roundtrip():
+    tok = CharTokenizer.build(["hello world", "abc xyz"])
+    assert tok.blank_id == 0
+    ids = tok.encode("hello abc")
+    assert (ids > 0).all()
+    assert tok.decode(ids, ctc=False) == "HELLO ABC"
+
+
+def test_tokenizer_ctc_decode_collapses():
+    tok = CharTokenizer.build(["ab"])
+    a, b = tok.vocab["A"], tok.vocab["B"]
+    ids = [a, a, 0, a, b, b, 0, 0, b]
+    assert tok.decode(ids) == "AABB"
+
+
+def test_tokenizer_save_load(tmp_path):
+    tok = CharTokenizer.build(["the quick brown fox"])
+    tok.save(tmp_path / "vocab.json")
+    tok2 = CharTokenizer.load(tmp_path / "vocab.json")
+    assert tok2.vocab == tok.vocab
+
+
+def test_tokenizer_unknown_char():
+    tok = CharTokenizer.build(["abc"])
+    ids = tok.encode("a#c")
+    assert ids[1] == tok.vocab["<unk>"]
+
+
+# ---------------------------------------------------------------- librispeech
+
+def _build_librispeech(root: pathlib.Path, n_spk=2, n_utt=4):
+    rng = np.random.default_rng(0)
+    texts = ["HELLO WORLD", "GOOD DAY", "OPEN SOURCE", "SPEECH MODEL"]
+    for s in range(n_spk):
+        d = root / f"{100+s}" / "1000"
+        d.mkdir(parents=True, exist_ok=True)
+        lines = []
+        for u in range(n_utt):
+            utt_id = f"{100+s}-1000-{u:04d}"
+            dur = int(SR * rng.uniform(0.4, 0.9))
+            write_wav(
+                d / f"{utt_id}.wav",
+                rng.normal(0, 0.1, dur).astype(np.float32),
+                SR,
+            )
+            lines.append(f"{utt_id} {texts[u % len(texts)]}")
+        (d / f"{100+s}-1000.trans.txt").write_text("\n".join(lines) + "\n")
+
+
+def test_librispeech_module_end_to_end(tmp_path):
+    raw = tmp_path / "raw"
+    _build_librispeech(raw)
+    cfg = LibriSpeechConfig(
+        split_dirs={"train": raw, "val_clean": raw},
+        shards_dir=tmp_path / "shards",
+        samples_per_shard=4,
+        train_max_num_samples=40_000,
+        max_queue_size=8,
+        pad_to_multiple=1600,
+    )
+    dm = LibriSpeechDataModule(cfg)
+    dm.prepare_data()
+    dm.vocabulary_consistency_check()
+    assert dm.tokenizer.vocab_size > 5
+
+    total = 0
+    for batch in dm.train_batches():
+        bs, n = batch["features"].shape
+        assert n % 1600 == 0
+        assert bs * n <= 40_000 + 1600  # budget with bucket slack
+        assert batch["labels"].shape[0] == bs
+        assert len(batch["transcriptions"]) == bs
+        total += bs
+    assert total == 8
+    eval_batches = list(dm.eval_batches("val_clean", batch_size=3))
+    assert sum(b["features"].shape[0] for b in eval_batches) == 8
+
+
+def test_librispeech_requires_transcripts(tmp_path):
+    (tmp_path / "empty").mkdir()
+    with pytest.raises(ValueError):
+        write_librispeech_shards(tmp_path / "empty", tmp_path / "out")
+
+
+# ------------------------------------------------------------------ ctc task
+
+@pytest.fixture(scope="module")
+def speech_setup():
+    tok = CharTokenizer.build(["ab ba", "aa bb"])
+    model = Wav2Vec2SpeechModel(
+        cfg=Wav2Vec2SpeechConfig(
+            w2v2=TINY, vocab_size=tok.vocab_size, head_dropout=0.0
+        )
+    )
+    task = SpeechTask(model=model, tokenizer=tok)
+    return task, tok
+
+
+def _speech_batch(tok, seed, bs=4, n=1600):
+    rng = np.random.default_rng(seed)
+    texts = ["AB", "BA", "A B", "BB"]
+    # audio correlated with transcript: distinct tones per char sequence
+    wavs, tokens = [], []
+    t = np.arange(n) / SR
+    for i in range(bs):
+        text = texts[i % len(texts)]
+        f = 300 + 400 * (hash(text) % 5)
+        wavs.append(
+            (np.sin(2 * np.pi * f * t) + 0.1 * rng.normal(size=n)).astype(
+                np.float32
+            )
+        )
+        tokens.append(tok.encode(text))
+    max_l = max(len(x) for x in tokens)
+    labels = np.zeros((bs, max_l), np.int32)
+    lengths = np.zeros(bs, np.int32)
+    for i, tk in enumerate(tokens):
+        labels[i, : len(tk)] = tk
+        lengths[i] = len(tk)
+    return {
+        "features": jnp.asarray(np.stack(wavs)),
+        "mask": jnp.ones((bs, n), bool),
+        "labels": jnp.asarray(labels),
+        "label_lengths": jnp.asarray(lengths),
+        "transcriptions": texts[:bs],
+    }
+
+
+def test_ctc_training_reduces_loss(speech_setup):
+    task, tok = speech_setup
+    batch = _speech_batch(tok, 0)
+    params, mstate = task.init(jax.random.PRNGKey(0), batch)
+    state = TrainState.create(
+        apply_fn=task.model.apply, params=params, tx=optax.adam(3e-3),
+        model_state=mstate, rng=jax.random.PRNGKey(1),
+    )
+
+    @jax.jit
+    def step(state, batch):
+        new_rng, srng = jax.random.split(state.rng)
+        (loss, aux), grads = jax.value_and_grad(task.loss_fn, has_aux=True)(
+            state.params, state.model_state, batch, srng, True
+        )
+        return (
+            state.apply_gradients(grads, aux["model_state"]).replace(
+                rng=new_rng
+            ),
+            aux["metrics"],
+        )
+
+    from w2v2_speaker_tpu.parallel.mesh import strip_host_fields
+
+    losses = []
+    for i in range(40):
+        # overfit one batch; host-only fields must be stripped before jit
+        state, m = step(state, strip_host_fields(_speech_batch(tok, 0)))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
+
+    # greedy decode + WER should improve over gibberish
+    hyps = task.transcribe(state.params, state.model_state, batch)
+    assert len(hyps) == 4
+    wer = task.evaluate_wer(state.params, state.model_state, [batch])
+    assert np.isfinite(wer["wer"])
+
+
+# --------------------------------------------------------------- checkpoints
+
+def test_checkpoint_best_k_and_restore(tmp_path, speech_setup):
+    from w2v2_speaker_tpu.train.checkpoint import (
+        CheckpointManager,
+        load_params,
+        save_params,
+    )
+
+    task, tok = speech_setup
+    batch = _speech_batch(tok, 1)
+    params, mstate = task.init(jax.random.PRNGKey(0), batch)
+    state = TrainState.create(
+        apply_fn=task.model.apply, params=params, tx=optax.adam(1e-3),
+        model_state=mstate, rng=jax.random.PRNGKey(1),
+    )
+
+    mgr = CheckpointManager(tmp_path / "ckpt", monitor="val_eer", top_k=2)
+    for step_i, eer in [(1, 0.5), (2, 0.3), (3, 0.4), (4, 0.2)]:
+        s = state.replace(step=jnp.asarray(step_i))
+        mgr.save_step(s, {"val_eer": eer})
+    # top-2 kept: 0.2 and 0.3
+    kept = sorted(e["metric"] for e in mgr._index["best"])
+    assert kept == [0.2, 0.3]
+    assert "0.2000" in str(mgr.best_path)
+
+    restored = mgr.restore(state, name="best")
+    assert int(restored.step) == 4
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]),
+    )
+
+    # weights-only save/load
+    save_params(tmp_path / "weights", state.params)
+    loaded = load_params(tmp_path / "weights", state.params)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(loaded)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]),
+    )
+
+
+def test_checkpoint_last_resume(tmp_path, speech_setup):
+    from w2v2_speaker_tpu.train.checkpoint import CheckpointManager
+
+    task, tok = speech_setup
+    batch = _speech_batch(tok, 2)
+    params, mstate = task.init(jax.random.PRNGKey(0), batch)
+    state = TrainState.create(
+        apply_fn=task.model.apply, params=params, tx=optax.adam(1e-3),
+        model_state=mstate, rng=jax.random.PRNGKey(1),
+    )
+    mgr = CheckpointManager(tmp_path / "c2")
+    mgr.save_step(state.replace(step=jnp.asarray(7)), None)
+    # fresh manager over same dir resumes 'last'
+    mgr2 = CheckpointManager(tmp_path / "c2")
+    restored = mgr2.restore(state, name="last")
+    assert int(restored.step) == 7

@@ -1,0 +1,86 @@
+"""validate_scores tool + lr range test."""
+
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+
+def test_validate_scores_ok(tmp_path):
+    import validate_scores as vs
+
+    pairs = tmp_path / "pairs.txt"
+    pairs.write_text("a.wav b.wav\nc.wav d.wav\n")
+    scores = tmp_path / "scores.txt"
+    scores.write_text("0.9 a.wav b.wav\n0.1 c.wav d.wav\n")
+    assert vs.main([str(scores), str(pairs), "--zip"]) == 0
+    assert (tmp_path / "scores.zip").exists()
+
+
+def test_validate_scores_failures(tmp_path):
+    import validate_scores as vs
+
+    pairs = tmp_path / "pairs.txt"
+    pairs.write_text("a.wav b.wav\nc.wav d.wav\n")
+
+    bad_range = tmp_path / "s1.txt"
+    bad_range.write_text("1.5 a.wav b.wav\n0.1 c.wav d.wav\n")
+    with pytest.raises(ValueError, match="outside"):
+        vs.validate(bad_range, pairs)
+
+    missing = tmp_path / "s2.txt"
+    missing.write_text("0.5 a.wav b.wav\n")
+    with pytest.raises(ValueError, match="missing"):
+        vs.validate(missing, pairs)
+
+    dup = tmp_path / "s3.txt"
+    dup.write_text("0.5 a.wav b.wav\n0.4 a.wav b.wav\n")
+    with pytest.raises(ValueError, match="duplicate"):
+        vs.validate(dup, pairs)
+
+
+def test_lr_range_test_runs():
+    import jax
+    import numpy as np
+
+    from w2v2_speaker_tpu.models.xvector import XVectorConfig, XVectorModel
+    from w2v2_speaker_tpu.parallel.mesh import create_mesh
+    from w2v2_speaker_tpu.runtime.lr_find import lr_range_test
+    from w2v2_speaker_tpu.train.speaker_task import SpeakerTask
+
+    cfg = XVectorConfig(
+        in_channels=8,
+        tdnn_channels=(16, 16),
+        tdnn_kernel_sizes=(3, 1),
+        tdnn_dilations=(1, 1),
+        lin_neurons=8,
+    )
+    model = XVectorModel(cfg=cfg, num_speakers=4)
+    task = SpeakerTask(model=model, mode="ce")
+    rng = np.random.default_rng(0)
+
+    def batches():
+        while True:
+            labels = rng.integers(0, 4, size=8)
+            yield {
+                "features": (
+                    labels[:, None, None]
+                    + rng.normal(size=(8, 12, 8)).astype(np.float32)
+                ).astype(np.float32),
+                "mask": np.ones((8, 12), bool),
+                "labels": labels,
+            }
+
+    example = next(batches())
+    params, mstate = task.init(jax.random.PRNGKey(0), example)
+    result = lr_range_test(
+        task, params, mstate, batches(), create_mesh(), num_steps=30
+    )
+    assert len(result["lr"]) == len(result["loss"])
+    assert 1e-8 <= result["suggestion"] <= 1.0
+    assert np.isfinite(result["loss"]).all()

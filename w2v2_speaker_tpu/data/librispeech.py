@@ -1,0 +1,250 @@
+"""LibriSpeech data module: shard writing + token-budget loaders for CTC.
+
+Re-implements the reference's LibriSpeech pipeline
+(`/root/reference/src/data/modules/speech/librispeech.py:77-804`):
+
+- shard writer: discover `<spk>/<chapter>/<spk>-<chapter>-<utt>.wav` files,
+  look up transcripts in the sibling `<spk>-<chapter>.trans.txt`
+  (librispeech.py:662-750), derive the character vocabulary
+  (librispeech.py:238-260) and sort by length before sharding so shards are
+  length-homogeneous (librispeech.py:752-755)
+- data module: separate clean/other validation and test loaders
+  (librispeech.py:379-512), tokenizer/vocab consistency check
+  (librispeech.py:225-236), token-budget dynamic batching for training
+  (`DynamicTokenBudgetBatcher`).
+
+Audio must be 16 kHz WAV (the reference reads flac through torchaudio/sox;
+here the offline prep converts with ffmpeg, same as VoxCeleb's m4a->wav
+step).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import pathlib
+import tarfile
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, Iterator, List, Optional
+
+import numpy as np
+
+from .batching import DynamicTokenBudgetBatcher
+from .datamodule import Prefetcher
+from .io import load_raw_audio
+from .samples import SpeechSample, collate_speech_batch
+from .shards import ShardReader, ShardWriter
+from .tokenizer import CharTokenizer
+
+__all__ = [
+    "write_librispeech_shards",
+    "LibriSpeechConfig",
+    "LibriSpeechDataModule",
+]
+
+
+def _discover_transcribed_wavs(root: pathlib.Path) -> List[Dict]:
+    entries = []
+    for trans in sorted(root.rglob("*.trans.txt")):
+        lookup: Dict[str, str] = {}
+        for line in trans.read_text().splitlines():
+            if not line.strip():
+                continue
+            utt_id, text = line.split(" ", 1)
+            lookup[utt_id] = text.strip()
+        for wav in sorted(trans.parent.glob("*.wav")):
+            utt_id = wav.stem
+            if utt_id in lookup:
+                entries.append(
+                    {
+                        "path": wav,
+                        "key": utt_id,
+                        "transcription": lookup[utt_id],
+                    }
+                )
+    return entries
+
+
+def write_librispeech_shards(
+    root: pathlib.Path | str,
+    out_dir: pathlib.Path | str,
+    samples_per_shard: int = 64,
+    use_gzip: bool = False,
+) -> Dict:
+    """Write speech shards sorted by audio length; returns meta with the
+    derived character set."""
+    root = pathlib.Path(root)
+    out_dir = pathlib.Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    entries = _discover_transcribed_wavs(root)
+    if not entries:
+        raise ValueError(f"no transcribed wavs under {root}")
+
+    loaded = []
+    charset = set()
+    for e in entries:
+        wav = load_raw_audio(e["path"])
+        charset.update(e["transcription"].upper().replace(" ", "|"))
+        loaded.append((e["key"], wav, e["transcription"]))
+    loaded.sort(key=lambda x: x[1].shape[-1])  # length-sorted sharding
+
+    shards = 0
+    for i in range(0, len(loaded), samples_per_shard):
+        chunk = loaded[i : i + samples_per_shard]
+        suffix = ".tar.gz" if use_gzip else ".tar"
+        with ShardWriter(
+            out_dir / f"speech-{shards:06d}{suffix}", use_gzip=use_gzip
+        ) as w:
+            for key, wav, text in chunk:
+                w.write(
+                    key,
+                    wav,
+                    {
+                        "transcription": text,
+                        "num_frames": int(wav.shape[-1]),
+                        "sampling_rate": 16000,
+                    },
+                )
+        shards += 1
+
+    meta = {
+        "num_shards": shards,
+        "num_samples": len(loaded),
+        "characters": sorted(charset - {"|"}),
+    }
+    (out_dir / "meta.json").write_text(json.dumps(meta, indent=2))
+    return meta
+
+
+@dataclass
+class LibriSpeechConfig:
+    # split name -> directory of raw (wav + trans.txt) data
+    split_dirs: Dict[str, pathlib.Path] = field(default_factory=dict)
+    shards_dir: pathlib.Path = pathlib.Path("shards")
+    samples_per_shard: int = 64
+    use_gzip_compression: bool = False
+    train_max_num_samples: int = 3_200_000  # token budget (samples x batch)
+    max_queue_size: int = 128
+    max_batch_size: Optional[int] = None
+    normalize_input: bool = False
+    pad_to_multiple: int = 1600  # 0.1 s buckets for static shapes
+    seed: int = 0
+    host_id: int = 0
+    num_hosts: int = 1
+
+
+class LibriSpeechDataModule:
+    TRAIN = "train"
+
+    def __init__(self, cfg: LibriSpeechConfig):
+        self.cfg = cfg
+        self.cfg.shards_dir = pathlib.Path(cfg.shards_dir)
+        self._tokenizer: Optional[CharTokenizer] = None
+
+    # ------------------------------------------------------------ prepare
+
+    def prepare_data(self) -> None:
+        cfg = self.cfg
+        marker = cfg.shards_dir / "prepared.json"
+        if marker.exists():
+            return
+        cfg.shards_dir.mkdir(parents=True, exist_ok=True)
+        all_chars: set = set()
+        info = {}
+        for split, raw_dir in cfg.split_dirs.items():
+            meta = write_librispeech_shards(
+                raw_dir,
+                cfg.shards_dir / split,
+                samples_per_shard=cfg.samples_per_shard,
+                use_gzip=cfg.use_gzip_compression,
+            )
+            info[split] = meta["num_samples"]
+            all_chars.update(meta["characters"])
+        # derive + persist the vocabulary from ALL splits (the reference
+        # cross-checks tokenizer vs data vocab, librispeech.py:225-236)
+        tok = CharTokenizer.build(["".join(sorted(all_chars)) + " "])
+        tok.save(cfg.shards_dir / "vocab.json")
+        marker.write_text(json.dumps(info, indent=2))
+
+    @property
+    def tokenizer(self) -> CharTokenizer:
+        if self._tokenizer is None:
+            self._tokenizer = CharTokenizer.load(
+                self.cfg.shards_dir / "vocab.json"
+            )
+        return self._tokenizer
+
+    def vocabulary_consistency_check(self) -> None:
+        """Every transcript character must be encodable without <unk>."""
+        tok = self.tokenizer
+        for split in self.cfg.split_dirs:
+            for s in self._samples(split):
+                ids = tok.encode(s.transcription)
+                if (ids == tok.vocab["<unk>"]).any():
+                    raise ValueError(
+                        f"transcript of {s.key} contains characters outside "
+                        f"the tokenizer vocabulary"
+                    )
+
+    # ------------------------------------------------------------ loaders
+
+    def _samples(self, split: str) -> Iterator[SpeechSample]:
+        cfg = self.cfg
+        d = cfg.shards_dir / split
+        reader = ShardReader(
+            ShardReader.discover(d),
+            shuffle_shards=split == self.TRAIN,
+            seed=cfg.seed,
+            host_id=cfg.host_id if split == self.TRAIN else 0,
+            num_hosts=cfg.num_hosts if split == self.TRAIN else 1,
+        )
+        tok = self.tokenizer
+        for s in reader:
+            text = s.meta["transcription"]
+            yield SpeechSample(
+                key=s.key,
+                wav=s.wav.astype(np.float32),
+                transcription=text,
+                tokens=tok.encode(text),
+            )
+
+    def train_batches(self, prefetch_depth: int = 4) -> Iterable[Dict]:
+        cfg = self.cfg
+
+        def collate(samples):
+            return collate_speech_batch(
+                samples, pad_to_multiple=cfg.pad_to_multiple
+            )
+
+        proc = DynamicTokenBudgetBatcher(
+            max_samples_in_batch=cfg.train_max_num_samples,
+            max_queue_size=cfg.max_queue_size,
+            collate_fn=collate,
+            max_batch_size=cfg.max_batch_size,
+            seed=cfg.seed,
+        )
+        return Prefetcher(
+            lambda: proc(self._samples(self.TRAIN)), depth=prefetch_depth
+        )
+
+    def eval_batches(self, split: str, batch_size: int = 8) -> Iterable[Dict]:
+        """Sequential fixed-count batches for clean/other val and test
+        splits (length-sorted shards keep padding small)."""
+        cfg = self.cfg
+
+        def gen():
+            batch: List[SpeechSample] = []
+            for s in self._samples(split):
+                batch.append(s)
+                if len(batch) == batch_size:
+                    yield collate_speech_batch(
+                        batch, pad_to_multiple=cfg.pad_to_multiple
+                    )
+                    batch = []
+            if batch:
+                yield collate_speech_batch(
+                    batch, pad_to_multiple=cfg.pad_to_multiple
+                )
+
+        return Prefetcher(gen)

@@ -178,4 +178,8 @@ def ctc_loss(
         blank_id=blank_id,
     )
     per_seq = jnp.where(jnp.isfinite(per_seq), per_seq, 0.0)  # zero_infinity
-    return (per_seq / jnp.maximum(label_lengths, 1)).mean()
+    # rows with empty targets are device-divisibility padding: exclude them
+    # from the mean (no-op for unpadded batches)
+    valid = (label_lengths > 0).astype(jnp.float32)
+    per_seq = per_seq / jnp.maximum(label_lengths, 1) * valid
+    return per_seq.sum() / jnp.maximum(valid.sum(), 1.0)

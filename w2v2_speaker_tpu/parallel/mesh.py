@@ -58,10 +58,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def strip_host_fields(batch: dict) -> dict:
+    """Drop host-only batch fields (keys, transcriptions, ...) that cannot
+    cross into jit; collate fns attach them for host-side bookkeeping."""
+    return {
+        k: v
+        for k, v in batch.items()
+        if hasattr(v, "shape") or np.isscalar(v)
+    }
+
+
 def shard_batch(batch, mesh: Mesh):
     """Device-put a pytree of host arrays with the leading axis sharded over
-    the data axis (per-host feeding; XLA handles the rest)."""
+    the data axis (per-host feeding; XLA handles the rest). Host-only fields
+    are stripped."""
     sharding = batch_sharding(mesh)
+    if isinstance(batch, dict):
+        batch = strip_host_fields(batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

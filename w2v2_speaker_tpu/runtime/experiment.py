@@ -1,0 +1,922 @@
+"""Train/eval orchestration — the `run_train_eval_script` equivalent.
+
+Mirrors `/root/reference/src/main.py:95-551`: seed -> data module ->
+evaluator -> network/task -> optimizer+schedule -> train with periodic
+validation EER/WER + checkpointing -> test on the best checkpoint -> return
+the scalar objective for sweepers. The isinstance-dispatch on config
+dataclasses (`main.py:236-253`) becomes name-keyed builders over the plain
+config dict; DDP setup/teardown (`main.py:500-514`) becomes a device mesh
+that the jitted steps shard over.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.augment import (
+    Augmenter,
+    ChoiceRandomNoiseAugment,
+    ChoiceRirsNoiseAugment,
+    ReverbAugment,
+    TimeDropoutAugment,
+    UniformSpeedAugment,
+)
+from ..data.collate import collate_pad_right
+from ..data.datamodule import VoxCelebConfig, VoxCelebDataModule
+from ..data.features import FbankConfig
+from ..data.librispeech import LibriSpeechConfig, LibriSpeechDataModule
+from ..data.samples import collate_paired_batch
+from ..data.batching import PairedBatchProcessor
+from ..eval.backends import LDAEvaluator, PLDAEvaluator
+from ..eval.evaluator import (
+    CosineDistanceEvaluator,
+    EmbeddingSample,
+    SpeakerRecognitionEvaluator,
+)
+from ..models.dummy import DummyModel
+from ..models.ecapa import EcapaConfig, EcapaModel
+from ..models.frontend import FbankFrontend
+from ..models.wav2spk import Wav2SpkConfig, Wav2SpkModel
+from ..models.wav2vec2 import BASE_CONFIG, LARGE_CONFIG, Wav2Vec2Config
+from ..models.wav2vec2_convert import load_hf_checkpoint
+from ..models.wav2vec2_paired import Wav2Vec2PairedConfig, Wav2Vec2PairedModel
+from ..models.wav2vec2_speaker import (
+    Wav2Vec2SpeakerConfig,
+    Wav2Vec2SpeakerModel,
+)
+from ..models.wav2vec2_speech import (
+    Wav2Vec2SpeechConfig,
+    Wav2Vec2SpeechModel,
+)
+from ..models.xvector import XVectorConfig, XVectorModel
+from ..objectives import schedules
+from ..parallel.mesh import create_mesh, shard_batch, strip_host_fields
+from ..train.checkpoint import CheckpointManager, load_params
+from ..train.paired_task import PairedSpeakerTask, paired_scores_to_metrics
+from ..train.speaker_task import SpeakerTask
+from ..train.speech_task import SpeechTask
+from ..train.state import TrainState, make_freeze_schedule_tx
+from ..train.steps import make_embed_fn, make_train_step
+from .logging import MetricsLogger
+
+__all__ = ["run_train_eval", "build_model_and_task", "extract_embeddings"]
+
+TINY_W2V2 = Wav2Vec2Config(  # for debug/e2e-test runs
+    conv_dim=(32, 32),
+    conv_kernel=(10, 3),
+    conv_stride=(5, 2),
+    hidden_size=48,
+    num_layers=2,
+    num_heads=4,
+    intermediate_size=96,
+    num_conv_pos_embeddings=16,
+    num_conv_pos_embedding_groups=4,
+)
+
+
+# ------------------------------------------------------------------ builders
+
+def build_augmenter(pipeline_cfg: Dict, seed: int) -> Optional[Augmenter]:
+    aug = pipeline_cfg.get("augment") or {}
+    if not aug.get("enabled"):
+        return None
+    chain = []
+    if aug.get("speed"):
+        chain.append(
+            UniformSpeedAugment(
+                min_speed_factor=aug["speed"]["min"],
+                max_speed_factor=aug["speed"]["max"],
+                seed=seed + 1,
+            )
+        )
+    if aug.get("time_dropout"):
+        td = aug["time_dropout"]
+        chain.append(
+            TimeDropoutAugment(
+                max_dropout_length_seconds=td["max_seconds"],
+                min_drop_count=td["min_count"],
+                max_drop_count=td["max_count"],
+                seed=seed + 2,
+            )
+        )
+    if aug.get("rirs_shards"):
+        chain.append(
+            ChoiceRirsNoiseAugment(
+                aug["rirs_shards"],
+                snr_choices=aug.get("noise_snr") or [5, 10, 15, 20],
+                seed=seed + 3,
+            )
+        )
+    elif aug.get("noise_snr"):
+        chain.append(
+            ChoiceRandomNoiseAugment(
+                snr_choices=aug["noise_snr"], seed=seed + 3
+            )
+        )
+    if aug.get("reverb"):
+        chain.append(ReverbAugment(seed=seed + 4))
+    if not chain:
+        return None
+    return Augmenter(chain, stack_augmentations=True,
+                     yield_intermediate_augmentations=False)
+
+
+def build_data_module(cfg: Dict):
+    m = cfg["data"]["module"]
+    if m["name"] == "voxceleb":
+        p = cfg["data"]["pipeline"]
+        s = cfg["data"]["shards"]
+        dl = cfg["data"]["dataloader"]
+        dm = VoxCelebDataModule(
+            VoxCelebConfig(
+                data_dir=pathlib.Path(m["data_dir"]),
+                shards_dir=pathlib.Path(m["shards_dir"]),
+                test_trial_path=(
+                    pathlib.Path(m["test_trial_path"])
+                    if m.get("test_trial_path")
+                    else None
+                ),
+                train_val_split_mode=m["train_val_split_mode"],
+                train_val_ratio=m["train_val_ratio"],
+                eer_validation_pairs=m["eer_validation_pairs"],
+                samples_per_shard=s["samples_per_shard"],
+                sequential_same_speaker_samples=s[
+                    "sequential_same_speaker_samples"
+                ],
+                min_unique_speakers_per_shard=s[
+                    "min_unique_speakers_per_shard"
+                ],
+                use_gzip_compression=s["use_gzip_compression"],
+                shuffle_shards=s["shuffle_shards"],
+                queue_size=dl["queue_size"],
+                batch_size=dl["batch_size"],
+                chunk_length_sec=p["chunk_length_sec"],
+                chunk_strategy=p["chunk_strategy"],
+                normalize_input=p["normalize_input"],
+                augmenter=build_augmenter(p, cfg["seed"]),
+                limit_samples=m.get("limit_samples"),
+                seed=cfg["seed"],
+            )
+        )
+        dm.prepare_data()
+        return dm
+    if m["name"] == "librispeech":
+        dl = cfg["data"]["dataloader"]
+        split_dirs = {}
+        for split, key in [
+            ("train", "train_dir"),
+            ("val_clean", "val_clean_dir"),
+            ("val_other", "val_other_dir"),
+            ("test_clean", "test_clean_dir"),
+            ("test_other", "test_other_dir"),
+        ]:
+            if m.get(key) and pathlib.Path(m[key]).exists():
+                split_dirs[split] = pathlib.Path(m[key])
+        dm = LibriSpeechDataModule(
+            LibriSpeechConfig(
+                split_dirs=split_dirs,
+                shards_dir=pathlib.Path(m["shards_dir"]),
+                train_max_num_samples=dl["train_max_num_samples"],
+                max_batch_size=dl.get("max_batch_size"),
+                max_queue_size=dl["queue_size"],
+                pad_to_multiple=dl["pad_to_multiple"],
+                seed=cfg["seed"],
+            )
+        )
+        dm.prepare_data()
+        return dm
+    raise ValueError(f"unknown data module {m['name']}")
+
+
+def build_evaluator(cfg: Dict) -> SpeakerRecognitionEvaluator:
+    e = cfg["evaluator"]
+    if e["name"] == "cosine_distance":
+        return CosineDistanceEvaluator(
+            center_before_scoring=e["center_before_scoring"],
+            length_norm_before_scoring=e["length_norm_before_scoring"],
+            max_num_training_samples=e["max_num_training_samples"],
+        )
+    if e["name"] == "lda":
+        return LDAEvaluator(
+            num_pca_components=e["num_pca_components"],
+            max_num_training_samples=e["max_num_training_samples"],
+        )
+    if e["name"] == "plda":
+        return PLDAEvaluator(
+            num_pca_components=e["num_pca_components"],
+            num_em_iterations=e["num_em_iterations"],
+            max_num_training_samples=e["max_num_training_samples"],
+        )
+    raise ValueError(f"unknown evaluator {e['name']}")
+
+
+def _w2v2_config(net: Dict, precision: str, remat: bool) -> Wav2Vec2Config:
+    size = net.get("wav2vec2_size", "base")
+    base = {"base": BASE_CONFIG, "large": LARGE_CONFIG, "tiny": TINY_W2V2}[
+        size
+    ]
+    return Wav2Vec2Config(
+        **{
+            **base.__dict__,
+            "activation_dropout": net["activation_dropout"],
+            "attention_dropout": net["attention_dropout"],
+            "feat_proj_dropout": net["feat_proj_dropout"],
+            "hidden_dropout": net["hidden_dropout"],
+            "layerdrop": net["layerdrop"],
+            "mask_feature_length": net["mask_feature_length"],
+            "mask_feature_prob": net["mask_feature_prob"],
+            "mask_time_length": net["mask_time_length"],
+            "mask_time_prob": net["mask_time_prob"],
+            "dtype": "bfloat16" if precision == "bf16" else "float32",
+            "remat": remat,
+        }
+    )
+
+
+def build_model_and_task(cfg: Dict, num_speakers: int, tokenizer=None):
+    """Returns (task, task_kind) with task_kind in
+    {'speaker', 'paired', 'speech'}."""
+    net = cfg["network"]
+    loss_name = cfg["optim"]["loss"]["name"]
+    precision = cfg["trainer"]["precision"]
+    remat = cfg["trainer"].get("remat", False)
+    n_out = net.get("explicit_num_speakers") or num_speakers
+
+    mode_map = {
+        "cross_entropy": "ce",
+        "aam_softmax": "aam",
+        "triplet": "triplet",
+        "triplet_ce": "triplet_ce",
+        "ctc": "speaker_ctc",
+    }
+
+    name = net["name"]
+    if name == "xvector":
+        if loss_name == "aam_softmax":
+            raise ValueError("xvector does not support aam softmax")
+        inner = XVectorModel(
+            cfg=XVectorConfig(
+                in_channels=net["in_channels"],
+                tdnn_channels=tuple(net["tdnn_channels"]),
+                tdnn_kernel_sizes=tuple(net["tdnn_kernel_sizes"]),
+                tdnn_dilations=tuple(net["tdnn_dilations"]),
+                lin_neurons=net["lin_neurons"],
+            ),
+            num_speakers=n_out,
+        )
+        model = FbankFrontend(
+            inner, fbank=FbankConfig(n_mels=net["n_mels"])
+        )
+        return SpeakerTask(model=model, mode=mode_map[loss_name]), "speaker"
+
+    if name == "ecapa_tdnn":
+        inner = EcapaModel(
+            cfg=EcapaConfig(
+                in_channels=net["in_channels"],
+                channels=tuple(net["channels"]),
+                kernel_sizes=tuple(net["kernel_sizes"]),
+                dilations=tuple(net["dilations"]),
+                attention_channels=net["attention_channels"],
+                res2net_scale=net["res2net_scale"],
+                se_channels=net["se_channels"],
+                global_context=net["global_context"],
+                lin_neurons=net["lin_neurons"],
+            ),
+            num_speakers=n_out,
+            use_aam=loss_name == "aam_softmax",
+            aam_margin=cfg["optim"]["loss"].get("margin", 0.2),
+            aam_scale=cfg["optim"]["loss"].get("scale", 30.0),
+        )
+        model = FbankFrontend(
+            inner, fbank=FbankConfig(n_mels=net["n_mels"])
+        )
+        return SpeakerTask(model=model, mode=mode_map[loss_name]), "speaker"
+
+    if name == "wav2vec2_fc":
+        w2v2 = _w2v2_config(net, precision, remat)
+        model = Wav2Vec2SpeakerModel(
+            cfg=Wav2Vec2SpeakerConfig(
+                w2v2=w2v2,
+                feature_encoder_only=net.get(
+                    "wav2vec_feature_encoder_only", False
+                ),
+                stat_pooling_type=net["stat_pooling_type"],
+                test_stat_pooling_type=net.get("test_stat_pooling_type"),
+                hidden_fc_layers_out=tuple(net["hidden_fc_layers_out"]),
+                embedding_layer_idx=net["embedding_layer_idx"],
+                use_aam=loss_name == "aam_softmax",
+                aam_margin=cfg["optim"]["loss"].get("margin", 0.2),
+                aam_scale=cfg["optim"]["loss"].get("scale", 30.0),
+                final_channel_mask_prob=net["final_channel_mask_prob"],
+                final_channel_mask_width=net["final_channel_mask_width"],
+                ctc_head=loss_name == "ctc",
+                ctc_blank_bias=100.0 if loss_name == "ctc" else 0.0,
+            ),
+            num_speakers=n_out,
+        )
+        mode = mode_map[loss_name]
+        if loss_name == "cross_entropy" and net["stat_pooling_type"] == "none":
+            mode = "ce_no_pool"
+        return SpeakerTask(model=model, mode=mode), "speaker"
+
+    if name == "wav2spk":
+        if loss_name == "aam_softmax":
+            raise ValueError("wav2spk does not support aam softmax")
+        model = Wav2SpkModel(
+            cfg=Wav2SpkConfig(
+                apply_temporal_gating=net["apply_temporal_gating"],
+                hidden_fc_layers_out=tuple(net["hidden_fc_layers_out"]),
+                embedding_layer_idx=net["embedding_layer_idx"],
+                stat_pooling_type=net["stat_pooling_type"],
+            ),
+            num_speakers=n_out,
+        )
+        return SpeakerTask(model=model, mode=mode_map[loss_name]), "speaker"
+
+    if name == "dummy":
+        model = DummyModel(num_speakers=n_out)
+        return SpeakerTask(model=model, mode=mode_map[loss_name]), "speaker"
+
+    if name == "wav2vec2_paired":
+        w2v2 = _w2v2_config(net, precision, remat)
+        model = Wav2Vec2PairedModel(
+            cfg=Wav2Vec2PairedConfig(
+                w2v2=w2v2,
+                cls_token_constant=net["cls_token_constant"],
+                sep_token_constant=net["sep_token_constant"],
+            )
+        )
+        return PairedSpeakerTask(model=model), "paired"
+
+    if name == "wav2vec2_fc_letter":
+        if tokenizer is None:
+            raise ValueError("speech network requires a tokenizer")
+        w2v2 = _w2v2_config(net, precision, remat)
+        model = Wav2Vec2SpeechModel(
+            cfg=Wav2Vec2SpeechConfig(
+                w2v2=w2v2,
+                vocab_size=tokenizer.vocab_size,
+                head_dropout=net["head_dropout"],
+                timestep_mask_prob=net["timestep_mask_prob"],
+                timestep_mask_width=net["timestep_mask_width"],
+                channel_mask_prob=net["channel_mask_prob"],
+                channel_mask_width=net["channel_mask_width"],
+            )
+        )
+        return SpeechTask(model=model, tokenizer=tokenizer), "speech"
+
+    raise ValueError(f"unknown network {name}")
+
+
+def build_optimizer(cfg: Dict) -> optax.GradientTransformation:
+    algo = cfg["optim"]["algo"]
+    sched_cfg = cfg["optim"]["schedule"]
+    max_steps = cfg["trainer"]["max_steps"]
+    lr = algo["lr"]
+
+    name = sched_cfg["name"]
+    if name == "one_cycle":
+        sched = schedules.one_cycle(
+            max_lr=lr,
+            total_steps=max_steps,
+            pct_start=sched_cfg["pct_start"],
+            div_factor=sched_cfg["div_factor"],
+            final_div_factor=sched_cfg["final_div_factor"],
+        )
+    elif name == "tri_stage":
+        sched = schedules.tri_stage(
+            max_steps,
+            sched_cfg["warmup_stage_ratio"],
+            sched_cfg["constant_stage_ratio"],
+            sched_cfg["decay_stage_ratio"],
+            sched_cfg["initial_lr"],
+            lr,
+            sched_cfg["final_lr"],
+        )
+    elif name == "constant":
+        sched = schedules.constant(lr)
+    elif name == "exp_decay":
+        sched = schedules.exp_decay(max_steps, lr, sched_cfg["final_lr"])
+    elif name == "cyclic":
+        sched = schedules.cyclic(
+            lr,
+            lr * sched_cfg["max_lr_factor"],
+            sched_cfg["step_size_up"],
+        )
+    elif name == "multi_step":
+        sched = schedules.multi_step_decay(
+            lr, sched_cfg["milestones"], sched_cfg["gamma"]
+        )
+    else:
+        raise ValueError(f"unknown schedule {name}")
+
+    if algo["name"] == "adam":
+        if algo.get("weight_decay"):
+            tx = optax.adamw(
+                sched, b1=algo["b1"], b2=algo["b2"],
+                weight_decay=algo["weight_decay"],
+            )
+        else:
+            tx = optax.adam(sched, b1=algo["b1"], b2=algo["b2"])
+    elif algo["name"] == "sgd":
+        tx = optax.sgd(sched, momentum=algo["momentum"])
+    else:
+        raise ValueError(f"unknown optimizer {algo['name']}")
+
+    net = cfg["network"]
+    if net.get("wav2vec_initially_frozen"):
+        tx = make_freeze_schedule_tx(
+            tx,
+            frozen_predicate=lambda p: p.startswith("wav2vec2")
+            or p.startswith("feature_encoder")
+            or p.startswith("feature_projection")
+            or p.startswith("encoder"),
+            num_frozen_steps=net.get("num_frozen_steps"),
+        )
+    if net.get("completely_freeze_feature_extractor"):
+        tx = make_freeze_schedule_tx(
+            tx,
+            frozen_predicate=lambda p: "feature_encoder" in p,
+            num_frozen_steps=None,
+        )
+    return tx
+
+
+# --------------------------------------------------------------- embeddings
+
+def extract_embeddings(
+    embed_fn,
+    state,
+    samples,
+    pad_to_multiple: int = 16000,
+    batch_size: int = 8,
+    num_devices: int = 1,
+) -> List[EmbeddingSample]:
+    """Batched, bucketed, masked full-utterance embedding extraction —
+    replaces the reference's bs=1 loop (speaker_recognition_module.py:468).
+    The batch dimension pads up to a multiple of the mesh's data-axis size so
+    the sharded embed step always sees divisible shapes."""
+    batch_size = -(-batch_size // num_devices) * num_devices
+    out: List[EmbeddingSample] = []
+    samples = sorted(samples, key=lambda s: s.wav.shape[-1])
+    for i in range(0, len(samples), batch_size):
+        chunk = samples[i : i + batch_size]
+        batch = collate_pad_right(
+            [s.wav for s in chunk],
+            pad_to_multiple=pad_to_multiple,
+            dtype=np.float32,
+        )
+        values, mask = batch.values, batch.mask
+        pad = batch_size - values.shape[0]
+        if pad:
+            values = np.concatenate(
+                [values, np.zeros((pad,) + values.shape[1:], np.float32)]
+            )
+            mask = np.concatenate(
+                [mask, np.zeros((pad, mask.shape[1]), bool)]
+            )
+        embs = np.asarray(
+            embed_fn(state, jnp.asarray(values), jnp.asarray(mask))
+        )[: len(chunk)]
+        out.extend(
+            EmbeddingSample(s.key, embs[j]) for j, s in enumerate(chunk)
+        )
+    return out
+
+
+# ------------------------------------------------------------------- driver
+
+def run_train_eval(cfg: Dict) -> float:
+    seed = int(cfg["seed"])
+    np.random.seed(seed)
+
+    logger = MetricsLogger(
+        log_dir=cfg["trainer"].get("log_dir"),
+        flush_every=cfg["trainer"].get("log_every", 100),
+    )
+    print(f"experiment: {cfg.get('experiment_name')}")
+
+    dm = build_data_module(cfg)
+    if hasattr(dm, "summary"):
+        print(dm.summary())
+
+    task_kind_tokenizer = (
+        dm.tokenizer if isinstance(dm, LibriSpeechDataModule) else None
+    )
+    num_speakers = (
+        dm.num_speakers if isinstance(dm, VoxCelebDataModule) else 0
+    )
+    task, kind = build_model_and_task(
+        cfg, num_speakers, tokenizer=task_kind_tokenizer
+    )
+
+    devices = jax.devices()
+    nd = cfg["trainer"].get("num_devices", "all")
+    if nd != "all":
+        devices = devices[: int(nd)]
+    mesh = create_mesh(devices)
+
+    if cfg.get("run_lr_range_test"):
+        # the reference's tune path (main.py:458-493): sweep, dump
+        # artifacts, return the suggestion instead of training
+        from .lr_find import lr_range_test
+
+        example = strip_host_fields(next(iter(dm.train_batches())))
+        params, model_state = task.init(
+            jax.random.PRNGKey(cfg["seed"]), example
+        )
+        out_dir = (
+            pathlib.Path(cfg["trainer"]["checkpoint_dir"]).parent
+            / "auto_lr_find"
+        )
+        result = lr_range_test(
+            task, params, model_state, dm.train_batches(), mesh,
+            output_dir=out_dir,
+        )
+        print(f"lr suggestion: {result['suggestion']}")
+        logger.close()
+        return result["suggestion"]
+
+    if kind == "speaker":
+        return _run_speaker(cfg, dm, task, mesh, logger)
+    if kind == "paired":
+        return _run_paired(cfg, dm, task, mesh, logger)
+    if kind == "speech":
+        return _run_speech(cfg, dm, task, mesh, logger)
+    raise ValueError(kind)
+
+
+def _init_state(cfg, task, example_batch) -> TrainState:
+    params, model_state = task.init(
+        jax.random.PRNGKey(cfg["seed"]), example_batch
+    )
+    net = cfg["network"]
+    if net.get("pretrained_checkpoint"):
+        # graft ported wav2vec2 weights into the matching subtree
+        w2v2_cfg = _w2v2_config(
+            net, cfg["trainer"]["precision"], cfg["trainer"].get("remat", False)
+        )
+        ported = load_hf_checkpoint(net["pretrained_checkpoint"], w2v2_cfg)
+        if "wav2vec2" in params:
+            params = dict(params)
+            params["wav2vec2"] = jax.tree.map(
+                lambda a, b: jnp.asarray(b, a.dtype)
+                if a.shape == np.shape(b)
+                else a,
+                params["wav2vec2"],
+                ported,
+            )
+    if cfg.get("load_network_from_checkpoint"):
+        params = load_params(cfg["load_network_from_checkpoint"], params)
+    tx = build_optimizer(cfg)
+    return TrainState.create(
+        apply_fn=task.model.apply,
+        params=params,
+        tx=tx,
+        model_state=model_state,
+        rng=jax.random.PRNGKey(cfg["seed"] + 1),
+    )
+
+
+def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
+                loss_fn_kind="speaker"):
+    trainer = cfg["trainer"]
+    max_steps = trainer["max_steps"]
+    val_every = trainer.get("val_check_interval") or max_steps
+    limit_train = trainer.get("limit_train_batches")
+    acc = trainer.get("accumulate_grad_batches", 1)
+
+    if loss_fn_kind == "speaker":
+        step_fn = make_train_step(task, mesh, accumulate_steps=acc)
+    else:
+
+        def raw_step(state, batch):
+            new_rng, srng = jax.random.split(state.rng)
+            (loss, aux), grads = jax.value_and_grad(
+                task.loss_fn, has_aux=True
+            )(state.params, state.model_state, batch, srng, True)
+            new_state = state.apply_gradients(
+                grads, aux["model_state"]
+            ).replace(rng=new_rng)
+            return new_state, aux["metrics"]
+
+        step_fn = jax.jit(raw_step, donate_argnums=(0,))
+
+    ckpt = CheckpointManager(
+        trainer["checkpoint_dir"],
+        monitor="val_eer" if loss_fn_kind != "speech" else "val_wer",
+    )
+
+    # jax profiler trace window (the reference's PL profiler configs,
+    # SURVEY §5.1); produces a TensorBoard-readable trace
+    prof = cfg.get("profiler") or {}
+    prof_active = prof.get("name") == "jax_trace"
+    prof_start = prof.get("start_step", 10)
+    prof_len = prof.get("num_steps", 5)
+
+    step = int(state.step)
+    expected_shapes = None
+    while step < max_steps:
+        epoch_batches = 0
+        for batch in train_iter_fn():
+            db = strip_host_fields(batch)
+            if loss_fn_kind != "speech":
+                # fixed-shape training: skip ragged trailing batches
+                # (speech uses token-budget batches whose shapes vary by
+                # design; each bucket shape compiles once)
+                if expected_shapes is None:
+                    expected_shapes = db["features"].shape
+                if db["features"].shape[0] != expected_shapes[0]:
+                    continue
+            else:
+                # pad token-budget batches to a device-divisible row count;
+                # padded rows have empty targets and are excluded from the
+                # CTC mean
+                n_data = mesh.shape["data"]
+                pad = (-db["features"].shape[0]) % n_data
+                if pad:
+                    db = {
+                        k: np.concatenate(
+                            [v, np.zeros((pad,) + v.shape[1:], v.dtype)]
+                        )
+                        for k, v in db.items()
+                    }
+            if prof_active and step == prof_start:
+                jax.profiler.start_trace(str(prof["trace_dir"]))
+            state, metrics = step_fn(state, shard_batch(db, mesh))
+            step += 1
+            if prof_active and step == prof_start + prof_len:
+                jax.tree.map(
+                    lambda x: x.block_until_ready(), state.params
+                )
+                jax.profiler.stop_trace()
+                prof_active = False
+            logger.log_step(step, jax.tree.map(float, metrics))
+            epoch_batches += 1
+            if step % val_every == 0 or step >= max_steps:
+                val_metrics = validate_fn(state)
+                logger.log_eval(step, val_metrics)
+                ckpt.save_step(state, val_metrics)
+            if step >= max_steps or (
+                limit_train and epoch_batches >= limit_train
+            ):
+                break
+        if limit_train and step < max_steps:
+            # debug-trainer style epoch cap: also run validation at the end
+            val_metrics = validate_fn(state)
+            logger.log_eval(step, val_metrics)
+            ckpt.save_step(state, val_metrics)
+            break
+        if epoch_batches == 0:
+            raise RuntimeError("train loader yielded no usable batches")
+    return state, ckpt
+
+
+def _run_speaker(cfg, dm, task: SpeakerTask, mesh, logger) -> float:
+    dl = cfg["data"]["dataloader"]
+    n_data = mesh.shape["data"]
+    evaluator = build_evaluator(cfg)
+    example = strip_host_fields(next(iter(dm.train_batches())))
+    state = _init_state(cfg, task, example)
+    embed = make_embed_fn(task, mesh)
+
+    val_pairs = dm.val_evaluation_pairs()
+    limit_val = cfg["trainer"].get("limit_val_batches")
+
+    def collect_train_embeddings(state, max_samples):
+        embs, labels = [], []
+        for batch in dm.train_batches():
+            db = strip_host_fields(batch)
+            if db["features"].shape[0] != example["features"].shape[0]:
+                continue
+            e = np.asarray(
+                embed(state, jnp.asarray(db["features"]),
+                      jnp.asarray(db["mask"]))
+            )
+            embs.extend(e)
+            labels.extend(np.asarray(db["labels"]).tolist())
+            if len(embs) >= max_samples:
+                break
+        return embs[:max_samples], labels[:max_samples]
+
+    def validate(state):
+        if not val_pairs:
+            return {"val_eer": 1.0}
+        samples: List[EmbeddingSample] = []
+        for i, batch in enumerate(dm.val_batches()):
+            if limit_val and i >= limit_val:
+                break
+            db = strip_host_fields(batch)
+            feats, mask = db["features"], db["mask"]
+            pad = (-feats.shape[0]) % n_data
+            if pad:
+                feats = np.concatenate(
+                    [feats, np.zeros((pad,) + feats.shape[1:], np.float32)]
+                )
+                mask = np.concatenate(
+                    [mask, np.zeros((pad, mask.shape[1]), bool)]
+                )
+            e = np.asarray(
+                embed(state, jnp.asarray(feats), jnp.asarray(mask))
+            )[: len(batch["keys"])]
+            samples.extend(
+                EmbeddingSample(k, e[j]) for j, k in enumerate(batch["keys"])
+            )
+        seen = {s.sample_id for s in samples}
+        usable = [
+            p for p in val_pairs if p.sample1_id in seen and p.sample2_id in seen
+        ]
+        if not usable:
+            return {"val_eer": 1.0}
+        evaluator.reset_parameters()
+        if evaluator.max_num_training_samples:
+            tr_embs, tr_labels = collect_train_embeddings(
+                state, evaluator.max_num_training_samples
+            )
+            evaluator.fit_parameters(tr_embs, tr_labels)
+        res = evaluator.evaluate(usable, samples)
+        return {"val_eer": res["eer"], "val_mdc": res["mdc"]}
+
+    def train_iter():
+        return dm.train_batches(prefetch_depth=dl.get("prefetch_depth", 4))
+
+    state, ckpt = _train_loop(
+        cfg, task, state, mesh, logger, train_iter, validate
+    )
+
+    # ---- test on best checkpoint (full utterances)
+    try:
+        state = ckpt.restore(state, name="best")
+    except FileNotFoundError:
+        pass
+    test_pairs = dm.test_evaluation_pairs()
+    if not test_pairs:
+        final = validate(state)
+        logger.close()
+        return float(final["val_eer"])
+    samples = extract_embeddings(
+        embed,
+        state,
+        list(dm.test_samples()),
+        pad_to_multiple=dl.get("test_pad_to_multiple", 16000),
+        batch_size=dl.get("test_batch_size", 8),
+        num_devices=n_data,
+    )
+    evaluator.reset_parameters()
+    if evaluator.max_num_training_samples:
+        tr_embs, tr_labels = collect_train_embeddings(
+            state, evaluator.max_num_training_samples
+        )
+        evaluator.fit_parameters(tr_embs, tr_labels)
+    res = evaluator.evaluate(test_pairs, samples)
+    logger.log_eval(int(state.step), {f"test_{k}": v for k, v in res.items()},
+                    split="test")
+    logger.close()
+    return float(res["eer"])
+
+
+def _run_paired(cfg, dm, task: PairedSpeakerTask, mesh, logger) -> float:
+    dl = cfg["data"]["dataloader"]
+    ratio = cfg.get("pos_neg_training_batch_ratio", 0.5)
+    k = cfg["data"]["shards"]["sequential_same_speaker_samples"]
+
+    def train_iter():
+        proc = PairedBatchProcessor(
+            batch_size=dl["batch_size"],
+            max_queue_size=cfg["data"]["dataloader"]["queue_size"],
+            mode="generate",
+            sequential_same_speaker_samples=k,
+            collate_fn=collate_paired_batch,
+            pos_neg_training_batch_ratio=ratio,
+            seed=cfg["seed"],
+        )
+        return proc(dm._pipeline("train", train=True))
+
+    example = strip_host_fields(next(iter(train_iter())))
+    state = _init_state(cfg, task, example)
+    score_fn = jax.jit(
+        lambda state, batch: task.score_fn(
+            state.params, state.model_state, batch
+        )
+    )
+
+    def score_pairs(state, pairs, split):
+        proc = PairedBatchProcessor(
+            batch_size=dl["batch_size"],
+            max_queue_size=max(dl["queue_size"], len(pairs) + 1),
+            mode="reproduce",
+            sequential_same_speaker_samples=1,
+            collate_fn=lambda s: collate_paired_batch(
+                s, pad_to_multiple=dl.get("test_pad_to_multiple", 16000)
+            ),
+            pairs=pairs,
+        )
+        gts, scores = [], []
+        n_data = mesh.shape["data"]
+        target_bs = -(-dl["batch_size"] // n_data) * n_data
+        sample_iter = (
+            dm._pipeline(split, train=False)
+            if split == "val"
+            else dm.test_samples()
+        )
+        for batch in proc(sample_iter):
+            db = strip_host_fields(batch)
+            n = db["labels"].shape[0]
+            # pad ragged last batch for static shapes
+            pad = target_bs - n
+            if pad:
+                db = {
+                    key: np.concatenate(
+                        [v, np.zeros((pad,) + v.shape[1:], v.dtype)]
+                    )
+                    for key, v in db.items()
+                }
+            s = np.asarray(score_fn(state, db))[:n]
+            scores.extend(s.tolist())
+            gts.extend(np.asarray(batch["labels"]).tolist())
+        return paired_scores_to_metrics(gts, scores)
+
+    val_pairs = dm.val_evaluation_pairs()
+
+    def validate(state):
+        if not val_pairs:
+            return {"val_eer": 1.0}
+        m = score_pairs(state, val_pairs, "val")
+        return {"val_eer": m["eer"], "val_mdc": m["mdc"]}
+
+    state, ckpt = _train_loop(
+        cfg, task, state, mesh, logger, train_iter, validate,
+        loss_fn_kind="paired",
+    )
+    try:
+        state = ckpt.restore(state, name="best")
+    except FileNotFoundError:
+        pass
+    test_pairs = dm.test_evaluation_pairs()
+    if not test_pairs:
+        final = validate(state)
+        logger.close()
+        return float(final["val_eer"])
+    res = score_pairs(state, test_pairs, "test")
+    logger.log_eval(int(state.step), {f"test_{k}": v for k, v in res.items()},
+                    split="test")
+    logger.close()
+    return float(res["eer"])
+
+
+def _run_speech(cfg, dm, task: SpeechTask, mesh, logger) -> float:
+    example = strip_host_fields(next(iter(dm.train_batches())))
+    state = _init_state(cfg, task, example)
+    limit_val = cfg["trainer"].get("limit_val_batches")
+
+    def validate(state):
+        metrics = {}
+        for split in ("val_clean", "val_other"):
+            if split not in dm.cfg.split_dirs:
+                continue
+            batches = []
+            for i, b in enumerate(dm.eval_batches(split)):
+                if limit_val and i >= limit_val:
+                    break
+                batches.append(b)
+            if batches:
+                wer = task.evaluate_wer(
+                    state.params, state.model_state, batches
+                )["wer"]
+                metrics[f"val_wer_{split.split('_')[1]}"] = wer
+        metrics["val_wer"] = metrics.get(
+            "val_wer_clean", next(iter(metrics.values()), 1.0)
+        )
+        return metrics
+
+    def train_iter():
+        return dm.train_batches()
+
+    state, ckpt = _train_loop(
+        cfg, task, state, mesh, logger, train_iter, validate,
+        loss_fn_kind="speech",
+    )
+    try:
+        state = ckpt.restore(state, name="best")
+    except FileNotFoundError:
+        pass
+    results = {}
+    for split in ("test_clean", "test_other"):
+        if split in dm.cfg.split_dirs:
+            results[split] = task.evaluate_wer(
+                state.params, state.model_state, list(dm.eval_batches(split))
+            )["wer"]
+    if results:
+        logger.log_eval(
+            int(state.step),
+            {f"{k}_wer": v for k, v in results.items()},
+            split="test",
+        )
+    logger.close()
+    return float(results.get("test_clean", validate(state)["val_wer"]))

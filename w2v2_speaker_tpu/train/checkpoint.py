@@ -1,0 +1,166 @@
+"""Checkpointing: orbax-backed train-state persistence + best-k policy.
+
+TPU equivalent of the reference's ModelCheckpoint setup (SURVEY §5.4):
+top-1 on the monitored metric (val_eer for speaker, val_wer_clean for
+speech), `save_last`, metric-stamped filenames
+(`config/callbacks/speaker_default.yaml:15-25`), plus weights-only warm
+starts (`main.py:272-283` load_network_from_checkpoint with strict=False —
+here: restore params only, tolerating a different head via subtree
+selection).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+__all__ = ["CheckpointManager", "save_params", "load_params"]
+
+
+def _to_pytree(state: TrainState) -> Dict[str, Any]:
+    return {
+        "step": state.step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "model_state": state.model_state,
+        "rng": state.rng,
+    }
+
+
+class CheckpointManager:
+    """Best-k + last checkpointing of TrainState.
+
+    mode='min' keeps the k checkpoints with the lowest monitored metric
+    (EER/WER); `save_last` always maintains a 'last' checkpoint for resume.
+    """
+
+    def __init__(
+        self,
+        directory: pathlib.Path | str,
+        monitor: str = "val_eer",
+        mode: str = "min",
+        top_k: int = 1,
+        save_last: bool = True,
+    ):
+        self.dir = pathlib.Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        self.top_k = top_k
+        self.save_last = save_last
+        self._ckpt = ocp.StandardCheckpointer()
+        self._index_path = self.dir / "index.json"
+        self._index: Dict[str, Dict] = self._load_index()
+
+    def _load_index(self) -> Dict:
+        if self._index_path.exists():
+            return json.loads(self._index_path.read_text())
+        return {"best": [], "last": None}
+
+    def _write_index(self) -> None:
+        self._index_path.write_text(json.dumps(self._index, indent=2))
+
+    def _save(self, name: str, state: TrainState) -> None:
+        path = (self.dir / name).absolute()
+        if path.exists():
+            shutil.rmtree(path)
+        self._ckpt.save(path, _to_pytree(state))
+        self._ckpt.wait_until_finished()
+
+    def save_step(
+        self, state: TrainState, metrics: Optional[Dict[str, float]] = None
+    ) -> None:
+        """Call after each validation: updates 'last' and the best-k set."""
+        step = int(state.step)
+        if self.save_last:
+            self._save("last", state)
+            self._index["last"] = {"step": step}
+        metric = None if metrics is None else metrics.get(self.monitor)
+        if metric is not None and np.isfinite(metric):
+            name = f"step{step:08d}_{self.monitor}={metric:.4f}"
+            entries = self._index["best"]
+            sign = 1.0 if self.mode == "min" else -1.0
+            worst = max((sign * e["metric"] for e in entries), default=np.inf)
+            if len(entries) < self.top_k or sign * metric < worst:
+                self._save(name, state)
+                entries.append(
+                    {"name": name, "metric": float(metric), "step": step}
+                )
+                entries.sort(key=lambda e: sign * e["metric"])
+                while len(entries) > self.top_k:
+                    dropped = entries.pop()
+                    dropped_path = self.dir / dropped["name"]
+                    if dropped_path.exists():
+                        shutil.rmtree(dropped_path)
+        self._write_index()
+
+    @property
+    def best_path(self) -> Optional[pathlib.Path]:
+        entries = self._index["best"]
+        if not entries:
+            return self.dir / "last" if self._index["last"] else None
+        return self.dir / entries[0]["name"]
+
+    def restore(self, template: TrainState, name: str = "best") -> TrainState:
+        """Restore full train state into the (abstract) template."""
+        path = (
+            self.best_path if name == "best" else (self.dir / name)
+        )
+        if path is None or not path.exists():
+            raise FileNotFoundError(f"no checkpoint at {path}")
+        target = jax.tree.map(np.asarray, _to_pytree(template))
+        restored = self._ckpt.restore(path.absolute(), target)
+        return template.replace(
+            step=restored["step"],
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            model_state=restored["model_state"],
+            rng=restored["rng"],
+        )
+
+
+def save_params(path: pathlib.Path | str, params: Any) -> None:
+    """Weights-only save (for warm starts / predict)."""
+    path = pathlib.Path(path).absolute()
+    if path.exists():
+        shutil.rmtree(path)
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path, {"params": params})
+    ckpt.wait_until_finished()
+
+
+def load_params(path: pathlib.Path | str, template: Any) -> Any:
+    """Weights-only restore; like the reference's strict=False warm start,
+    missing/extra subtrees in the template are tolerated by restoring only
+    matching leaves."""
+    ckpt = ocp.StandardCheckpointer()
+    target = {"params": jax.tree.map(np.asarray, template)}
+    try:
+        return ckpt.restore(pathlib.Path(path).absolute(), target)["params"]
+    except Exception:
+        # partial restore: load raw then graft matching subtrees
+        raw = ckpt.restore(pathlib.Path(path).absolute())["params"]
+
+        def graft(tmpl, loaded):
+            if isinstance(tmpl, dict) and isinstance(loaded, dict):
+                return {
+                    k: graft(tmpl[k], loaded[k]) if k in loaded else tmpl[k]
+                    for k in tmpl
+                }
+            if (
+                hasattr(tmpl, "shape")
+                and hasattr(loaded, "shape")
+                and tuple(tmpl.shape) == tuple(loaded.shape)
+            ):
+                return loaded
+            return tmpl
+
+        return graft(template, raw)

@@ -1,0 +1,123 @@
+"""Speech-recognition (CTC) task: loss, greedy decode, WER evaluation.
+
+Functional equivalent of the reference's
+`SpeechRecognitionLightningModule`
+(`/root/reference/src/lightning_modules/speech/speech_recognition_module.py:37-288`):
+CTC loss over frame logits (blank 0, zero_infinity, torch-mean reduction —
+objectives/losses.py), greedy argmax decode (233-248) and corpus WER via
+eval/metrics.calculate_wer (178-231). The CTC loss runs on the TPU (the
+reference pins it to CPU, `ctc_loss.py:46-56`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.tokenizer import CharTokenizer
+from ..eval.metrics import calculate_wer
+from ..objectives import losses
+
+__all__ = ["SpeechTask"]
+
+
+@dataclass
+class SpeechTask:
+    model: nn.Module
+    tokenizer: CharTokenizer
+    rng_streams: Tuple[str, ...] = ("dropout", "masking", "layerdrop")
+
+    def init(self, rng: jax.Array, example_batch: Dict):
+        init_rng, *streams = jax.random.split(rng, 1 + len(self.rng_streams))
+        variables = self.model.init(
+            dict(zip(("params",) + self.rng_streams, [init_rng] + streams)),
+            example_batch["features"],
+            example_batch.get("mask"),
+            train=False,
+        )
+        params = variables["params"]
+        model_state = {k: v for k, v in variables.items() if k != "params"}
+        return params, model_state
+
+    def loss_fn(self, params, model_state, batch, rng, train: bool = True):
+        rngs = dict(
+            zip(self.rng_streams, jax.random.split(rng, len(self.rng_streams)))
+        )
+        variables = {"params": params, **model_state}
+        if train and model_state:
+            out, mutated = self.model.apply(
+                variables,
+                batch["features"],
+                batch.get("mask"),
+                train=train,
+                rngs=rngs,
+                mutable=list(model_state.keys()),
+            )
+            new_model_state = dict(mutated)
+        else:
+            out = self.model.apply(
+                variables,
+                batch["features"],
+                batch.get("mask"),
+                train=train,
+                rngs=rngs,
+            )
+            new_model_state = model_state
+
+        logits = out["logits"]
+        frame_mask = out.get("frame_mask")
+        if frame_mask is not None:
+            logit_lengths = frame_mask.sum(axis=-1).astype(jnp.int32)
+        else:
+            logit_lengths = jnp.full(
+                (logits.shape[0],), logits.shape[1], jnp.int32
+            )
+        loss = losses.ctc_loss(
+            logits,
+            logit_lengths,
+            batch["labels"],
+            batch["label_lengths"],
+            blank_id=self.tokenizer.blank_id,
+        )
+        aux = {
+            "metrics": {"loss": loss},
+            "model_state": new_model_state,
+            "out": {"logits": logits, "logit_lengths": logit_lengths},
+        }
+        return loss, aux
+
+    # ------------------------------------------------------------ decoding
+
+    def transcribe(
+        self, params, model_state, batch
+    ) -> List[str]:
+        """Greedy CTC transcription of a batch (host-side decode)."""
+        variables = {"params": params, **model_state}
+        out = self.model.apply(
+            variables, batch["features"], batch.get("mask"), train=False
+        )
+        logits = np.asarray(out["logits"])
+        fm = out.get("frame_mask")
+        lengths = (
+            np.asarray(fm).sum(axis=-1)
+            if fm is not None
+            else np.full(logits.shape[0], logits.shape[1])
+        )
+        return self.tokenizer.decode_batch(logits, lengths)
+
+    def evaluate_wer(
+        self, params, model_state, batches
+    ) -> Dict[str, float]:
+        """Corpus WER over an iterable of batches carrying
+        'transcriptions'."""
+        hyps: List[str] = []
+        refs: List[str] = []
+        for batch in batches:
+            hyps.extend(self.transcribe(params, model_state, batch))
+            refs.extend(batch["transcriptions"])
+        return {"wer": calculate_wer(hyps, refs)}
