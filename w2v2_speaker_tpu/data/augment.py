@@ -31,7 +31,14 @@ from fractions import Fraction
 from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
-from scipy import signal
+
+try:
+    from scipy import signal
+
+    _HAS_SCIPY = True
+except ImportError:  # scipy-free deployment: the native C++ DSP lib serves
+    signal = None
+    _HAS_SCIPY = False
 
 from .samples import SpeakerSample
 
@@ -57,13 +64,49 @@ def speed_perturb(
     wav: np.ndarray, factor: float, max_denominator: int = 100
 ) -> np.ndarray:
     """sox `speed f` + `rate sr`: play faster/slower (pitch + duration
-    change) == resample by 1/factor."""
+    change) == resample by 1/factor.
+
+    scipy's pocketfft-backed upfirdn is the fast path (it is native C and
+    measured faster than our own kernels); native/dsp.cpp provides the same
+    math for scipy-free deployments (`speed_perturb_native`)."""
     if factor == 1.0:
         return wav
     frac = Fraction(1.0 / factor).limit_denominator(max_denominator)
-    return signal.resample_poly(
-        wav.astype(np.float32), frac.numerator, frac.denominator
-    ).astype(np.float32)
+    if _HAS_SCIPY:
+        return signal.resample_poly(
+            wav.astype(np.float32), frac.numerator, frac.denominator
+        ).astype(np.float32)
+    return speed_perturb_native(wav, frac.numerator, frac.denominator)
+
+
+def speed_perturb_native(wav: np.ndarray, up: int, down: int) -> np.ndarray:
+    """Polyphase resample on the native C++ core, replicating
+    scipy.signal.resample_poly's filter design and indexing exactly."""
+    from ..utils import native
+
+    x = wav.astype(np.float32)
+    n = x.shape[0]
+    max_rate = max(up, down)
+    half_len = 10 * max_rate
+    h = _firwin_kaiser(2 * half_len + 1, 1.0 / max_rate) * up
+    n_pre_pad = down - half_len % down
+    h = np.concatenate([np.zeros(n_pre_pad, np.float32), h.astype(np.float32)])
+    n_pre_remove = (half_len + n_pre_pad) // down
+    n_out = -(-n * up // down)
+    y = native.upfirdn(x, h, up, down)
+    if y is None or y.shape[0] < n_pre_remove + n_out:
+        raise RuntimeError("native DSP library unavailable")
+    return y[n_pre_remove : n_pre_remove + n_out]
+
+
+def _firwin_kaiser(numtaps: int, cutoff: float) -> np.ndarray:
+    if _HAS_SCIPY:
+        return signal.firwin(numtaps, cutoff, window=("kaiser", 5.0))
+    # windowed-sinc design without scipy
+    m = np.arange(numtaps) - (numtaps - 1) / 2.0
+    h = np.sinc(cutoff * m) * cutoff
+    h *= np.kaiser(numtaps, 5.0)
+    return h / h.sum()
 
 
 def add_noise_snr(
@@ -96,7 +139,15 @@ def synthetic_rir(
     tail = rng.normal(size=n) * decay
     # damping: one-pole lowpass on the tail
     alpha = 0.1 + 0.85 * (damping / 100.0)
-    tail = signal.lfilter([1 - alpha], [1, -alpha], tail)
+    if _HAS_SCIPY:
+        tail = signal.lfilter([1 - alpha], [1, -alpha], tail)
+    else:  # y[t] = (1-a) x[t] + a y[t-1]
+        out = np.empty_like(tail)
+        acc = 0.0
+        for i in range(tail.shape[0]):
+            acc = (1 - alpha) * tail[i] + alpha * acc
+            out[i] = acc
+        tail = out
     tail /= np.max(np.abs(tail)) + 1e-9
     wet = reverberance / 100.0
     rir = np.zeros(n, dtype=np.float32)
@@ -123,10 +174,25 @@ def band_reject(
     high = min(high_hz, nyq - 1.0)
     if high <= low:
         return wav
-    taps = signal.firwin(
-        numtaps, [low / nyq, high / nyq], pass_zero=True, window="hamming"
-    )
-    return signal.fftconvolve(wav, taps, mode="same").astype(np.float32)
+    if _HAS_SCIPY:
+        taps = signal.firwin(
+            numtaps, [low / nyq, high / nyq], pass_zero=True,
+            window="hamming",
+        )
+        return signal.fftconvolve(wav, taps, mode="same").astype(np.float32)
+    # scipy-free: windowed-sinc bandstop + native FIR
+    m = np.arange(numtaps) - (numtaps - 1) / 2.0
+    f1, f2 = low / nyq, high / nyq
+    lowpass = f1 * np.sinc(f1 * m)
+    highpass = np.sinc(m) - f2 * np.sinc(f2 * m)
+    taps = (lowpass + highpass) * np.hamming(numtaps)
+    taps /= taps.sum()
+    from ..utils import native
+
+    y = native.fir_same(wav.astype(np.float32), taps)
+    if y is None:
+        raise RuntimeError("neither scipy nor the native DSP lib available")
+    return y
 
 
 # ------------------------------------------------------------------ wrappers
@@ -295,8 +361,15 @@ class ReverbAugment(_WavAugment):
         d = float(self.rng.integers(self.damping[0], self.damping[1] + 1))
         s = float(self.rng.integers(self.room_scale[0], self.room_scale[1] + 1))
         rir = synthetic_rir(self.rng, self.sample_rate, r, d, s)
-        out = signal.fftconvolve(wav, rir)[: wav.shape[-1]]
-        return out.astype(np.float32)
+        if _HAS_SCIPY:
+            out = signal.fftconvolve(wav, rir)[: wav.shape[-1]]
+            return out.astype(np.float32)
+        from ..utils import native
+
+        y = native.fft_convolve(wav.astype(np.float32), rir)
+        if y is None:
+            raise RuntimeError("neither scipy nor the native DSP lib available")
+        return y[: wav.shape[-1]]
 
 
 class SpecAugmentTimeDomain(_WavAugment):

@@ -343,6 +343,40 @@ def build_model_and_task(cfg: Dict, num_speakers: int, tokenizer=None):
         model = DummyModel(num_speakers=n_out)
         return SpeakerTask(model=model, mode=mode_map[loss_name]), "speaker"
 
+    if name == "wav2vec_fc":  # wav2vec v1 (fairseq architecture)
+        from ..models.wav2vec1 import Wav2Vec1Config, Wav2Vec1FCModel
+
+        model = Wav2Vec1FCModel(
+            cfg=Wav2Vec1Config(
+                use_aggregator=net.get("use_aggregation_layers", False),
+                dtype="bfloat16" if precision == "bf16" else "float32",
+            ),
+            stat_pooling_type=net["stat_pooling_type"],
+            hidden_fc_layers_out=tuple(net["hidden_fc_layers_out"]),
+            embedding_layer_idx=net["embedding_layer_idx"],
+            num_speakers=n_out,
+        )
+        return SpeakerTask(model=model, mode=mode_map[loss_name]), "speaker"
+
+    if name == "wav2vec_xvector":  # wav2vec v1 + x-vector head
+        from ..models.wav2vec1 import Wav2Vec1Config, Wav2Vec1XVectorModel
+
+        model = Wav2Vec1XVectorModel(
+            cfg=Wav2Vec1Config(
+                use_aggregator=net.get("use_aggregation_layers", False),
+                dtype="bfloat16" if precision == "bf16" else "float32",
+            ),
+            xvector=XVectorConfig(
+                in_channels=512,
+                tdnn_channels=tuple(net["tdnn_channels"]),
+                tdnn_kernel_sizes=tuple(net["tdnn_kernel_sizes"]),
+                tdnn_dilations=tuple(net["tdnn_dilations"]),
+                lin_neurons=net["lin_neurons"],
+            ),
+            num_speakers=n_out,
+        )
+        return SpeakerTask(model=model, mode=mode_map[loss_name]), "speaker"
+
     if name == "wav2vec2_paired":
         w2v2 = _w2v2_config(net, precision, remat)
         model = Wav2Vec2PairedModel(
