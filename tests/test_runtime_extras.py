@@ -1,0 +1,135 @@
+"""Runtime extras: resume, multirun, ensemble test path, model summary,
+reduce-on-plateau wiring, debug dumps."""
+
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+
+SR = 16000
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    from tests.test_runtime import _build_corpus
+
+    root = tmp_path_factory.mktemp("extras_corpus")
+    return _build_corpus(root, n_spk=6, test_spk=2)
+
+
+def _base_overrides(corpus, tmp_path, extra):
+    wav_dir, trials = corpus
+    return [
+        f"data.module.data_dir={wav_dir}",
+        f"data.module.shards_dir={tmp_path / 'shards'}",
+        f"data.module.test_trial_path={trials}",
+        "data.module.train_val_ratio=0.7",
+        "data.module.eer_validation_pairs=8",
+        "data.shards.samples_per_shard=8",
+        "data.dataloader.batch_size=8",
+        "data.dataloader.test_batch_size=4",
+        "data.dataloader.test_pad_to_multiple=8000",
+        "data.pipeline.chunk_length_sec=1.0",
+        "trainer=debug_trainer",
+        f"trainer.checkpoint_dir={tmp_path / 'ckpt'}",
+        "seed=5",
+    ] + extra
+
+
+def test_multirun_expansion():
+    import run as run_cli
+
+    runs = run_cli._expand_multirun(
+        ["a=1,2", "b=[3,4]", "c=x"]
+    )
+    assert len(runs) == 2
+    assert ["b=[3,4]", "c=x", "a=1"] == runs[0]
+    # no sweep axes -> single run
+    assert run_cli._expand_multirun(["a=1"]) == [["a=1"]]
+
+
+def test_resume_continues_from_last(corpus, tmp_path, capsys):
+    import run as run_cli
+
+    ovr = _base_overrides(
+        corpus, tmp_path,
+        ["+experiment=speaker_dummy", "trainer.max_steps=6",
+         "trainer.val_check_interval=3"],
+    )
+    run_cli.main(ovr)
+    # resume with a higher step budget: must start from the saved step
+    run_cli.main(ovr + ["trainer.resume=true", "trainer.max_steps=9"])
+    out = capsys.readouterr().out
+    assert "resumed from step" in out
+
+
+def test_verify_model_prints_summary(corpus, tmp_path, capsys):
+    import run as run_cli
+
+    run_cli.main(
+        _base_overrides(
+            corpus, tmp_path,
+            ["+experiment=speaker_dummy", "verify_model=true",
+             "trainer.max_steps=2", "trainer.val_check_interval=2"],
+        )
+    )
+    out = capsys.readouterr().out
+    assert "model parameters:" in out and "TOTAL" in out
+
+
+def test_ensemble_test_path(corpus, tmp_path):
+    import run as run_cli
+
+    objective = run_cli.main(
+        _base_overrides(
+            corpus, tmp_path,
+            [
+                "network=wav2vec2_fc",
+                "network.wav2vec2_size=tiny",
+                "network.layerdrop=0.0",
+                "network.use_transformers_as_ensembles=true",
+                "network.num_ensembles=2",
+                "trainer.max_steps=4",
+                "trainer.val_check_interval=2",
+                "trainer.precision=f32",
+            ],
+        )
+    )
+    assert 0.0 <= objective <= 1.0
+
+
+def test_reduce_on_plateau_schedule(corpus, tmp_path):
+    import run as run_cli
+
+    objective = run_cli.main(
+        _base_overrides(
+            corpus, tmp_path,
+            [
+                "+experiment=speaker_dummy",
+                "optim.schedule=reduce_on_plateau",
+                "optim.schedule.patience=0",
+                "trainer.max_steps=6",
+                "trainer.val_check_interval=2",
+            ],
+        )
+    )
+    assert 0.0 <= objective <= 1.0
+
+
+def test_dump_first_batch(corpus, tmp_path):
+    import run as run_cli
+
+    run_cli.main(
+        _base_overrides(
+            corpus, tmp_path,
+            ["+experiment=speaker_dummy", "trainer.dump_first_batch=true",
+             "trainer.max_steps=2", "trainer.val_check_interval=2"],
+        )
+    )
+    dump_dir = tmp_path / "first_batch"
+    assert (dump_dir / "batch_features.npy").exists()
+    assert (dump_dir / "batch_labels.npy").exists()

@@ -199,10 +199,23 @@ def apply_overrides(
     group_choices: Dict[str, str],
 ) -> Dict:
     """Hydra grammar: `key=value` dotted sets, `group=option` group swaps,
-    `+experiment=name` global-package preset application."""
+    `+experiment=name` global-package preset application.
+
+    Like Hydra, group-level composition (experiment presets and group swaps)
+    happens first and plain `key=value` overrides apply afterwards, so a CLI
+    value always wins over anything a preset re-loads."""
+    group_phase, value_phase = [], []
     for ov in overrides:
         if "=" not in ov:
             raise ConfigError(f"override '{ov}' is not key=value")
+        key = ov.partition("=")[0].strip().lstrip("+")
+        norm = key.replace(".", "/")
+        if norm == "experiment" or (config_dir / norm).is_dir():
+            group_phase.append(ov)
+        else:
+            value_phase.append(ov)
+
+    for ov in group_phase + value_phase:
         key, _, raw = ov.partition("=")
         key = key.strip()
         additive = key.startswith("+")

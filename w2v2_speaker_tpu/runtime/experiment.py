@@ -447,21 +447,45 @@ def build_optimizer(cfg: Dict) -> optax.GradientTransformation:
         sched = schedules.multi_step_decay(
             lr, sched_cfg["milestones"], sched_cfg["gamma"]
         )
+    elif name == "reduce_on_plateau":
+        # base lr is constant; the train loop multiplies in the
+        # ReduceLROnPlateauController factor after each validation via
+        # optax.inject_hyperparams
+        sched = lr
     else:
         raise ValueError(f"unknown schedule {name}")
 
+    plateau = name == "reduce_on_plateau"
+
+    # inject_hyperparams passes hyperparameters by keyword: the factory's
+    # parameter must be named `learning_rate`
     if algo["name"] == "adam":
         if algo.get("weight_decay"):
-            tx = optax.adamw(
-                sched, b1=algo["b1"], b2=algo["b2"],
-                weight_decay=algo["weight_decay"],
-            )
+
+            def make(learning_rate):
+                return optax.adamw(
+                    learning_rate, b1=algo["b1"], b2=algo["b2"],
+                    weight_decay=algo["weight_decay"],
+                )
+
         else:
-            tx = optax.adam(sched, b1=algo["b1"], b2=algo["b2"])
+
+            def make(learning_rate):
+                return optax.adam(
+                    learning_rate, b1=algo["b1"], b2=algo["b2"]
+                )
+
     elif algo["name"] == "sgd":
-        tx = optax.sgd(sched, momentum=algo["momentum"])
+
+        def make(learning_rate):
+            return optax.sgd(learning_rate, momentum=algo["momentum"])
+
     else:
         raise ValueError(f"unknown optimizer {algo['name']}")
+    if plateau:
+        tx = optax.inject_hyperparams(make)(learning_rate=sched)
+    else:
+        tx = make(sched)
 
     net = cfg["network"]
     if net.get("wav2vec_initially_frozen"):
@@ -491,6 +515,7 @@ def extract_embeddings(
     pad_to_multiple: int = 16000,
     batch_size: int = 8,
     num_devices: int = 1,
+    ensemble: bool = False,
 ) -> List[EmbeddingSample]:
     """Batched, bucketed, masked full-utterance embedding extraction —
     replaces the reference's bs=1 loop (speaker_recognition_module.py:468).
@@ -515,12 +540,18 @@ def extract_embeddings(
             mask = np.concatenate(
                 [mask, np.zeros((pad, mask.shape[1]), bool)]
             )
-        embs = np.asarray(
-            embed_fn(state, jnp.asarray(values), jnp.asarray(mask))
-        )[: len(chunk)]
-        out.extend(
-            EmbeddingSample(s.key, embs[j]) for j, s in enumerate(chunk)
-        )
+        result = embed_fn(state, jnp.asarray(values), jnp.asarray(mask))
+        if ensemble:
+            layers = [np.asarray(e)[: len(chunk)] for e in result]
+            out.extend(
+                EmbeddingSample(s.key, [lay[j] for lay in layers])
+                for j, s in enumerate(chunk)
+            )
+        else:
+            embs = np.asarray(result)[: len(chunk)]
+            out.extend(
+                EmbeddingSample(s.key, embs[j]) for j, s in enumerate(chunk)
+            )
     return out
 
 
@@ -608,6 +639,10 @@ def _init_state(cfg, task, example_batch) -> TrainState:
             )
     if cfg.get("load_network_from_checkpoint"):
         params = load_params(cfg["load_network_from_checkpoint"], params)
+    if cfg.get("verify_model"):
+        from .debug import model_summary
+
+        print(model_summary(params))
     tx = build_optimizer(cfg)
     return TrainState.create(
         apply_fn=task.model.apply,
@@ -616,6 +651,27 @@ def _init_state(cfg, task, example_batch) -> TrainState:
         model_state=model_state,
         rng=jax.random.PRNGKey(cfg["seed"] + 1),
     )
+
+
+def _scale_injected_lr(state: TrainState, new_lr: float) -> TrainState:
+    """Update the learning rate inside an optax.inject_hyperparams state
+    (reduce-on-plateau support)."""
+
+    def visit(node):
+        if hasattr(node, "hyperparams") and "learning_rate" in node.hyperparams:
+            node.hyperparams["learning_rate"] = jnp.asarray(
+                new_lr, dtype=jnp.float32
+            )
+        return node
+
+    # inject_hyperparams state may be nested inside the freeze wrapper tuple
+    opt_state = state.opt_state
+    if isinstance(opt_state, tuple):
+        for part in opt_state:
+            visit(part)
+    else:
+        visit(opt_state)
+    return state
 
 
 def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
@@ -646,6 +702,20 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
         trainer["checkpoint_dir"],
         monitor="val_eer" if loss_fn_kind != "speech" else "val_wer",
     )
+    if trainer.get("resume"):
+        try:
+            state = ckpt.restore(state, name="last")
+            print(f"resumed from step {int(state.step)}")
+        except FileNotFoundError:
+            print("resume requested but no 'last' checkpoint; starting fresh")
+
+    plateau_ctl = None
+    base_lr = cfg["optim"]["algo"]["lr"]
+    if cfg["optim"]["schedule"]["name"] == "reduce_on_plateau":
+        sc = cfg["optim"]["schedule"]
+        plateau_ctl = schedules.ReduceLROnPlateauController(
+            factor=sc.get("factor", 0.1), patience=sc.get("patience", 10)
+        )
 
     # jax profiler trace window (the reference's PL profiler configs,
     # SURVEY §5.1); produces a TensorBoard-readable trace
@@ -656,10 +726,20 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
 
     step = int(state.step)
     expected_shapes = None
+    first_batch_dumped = False
     while step < max_steps:
         epoch_batches = 0
         for batch in train_iter_fn():
             db = strip_host_fields(batch)
+            if not first_batch_dumped and trainer.get("dump_first_batch"):
+                from .debug import dump_first_batch
+
+                dump_first_batch(
+                    batch,
+                    pathlib.Path(trainer["checkpoint_dir"]).parent
+                    / "first_batch",
+                )
+                first_batch_dumped = True
             if loss_fn_kind != "speech":
                 # fixed-shape training: skip ragged trailing batches
                 # (speech uses token-budget batches whose shapes vary by
@@ -697,6 +777,12 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
                 val_metrics = validate_fn(state)
                 logger.log_eval(step, val_metrics)
                 ckpt.save_step(state, val_metrics)
+                if plateau_ctl is not None:
+                    monitor = val_metrics.get(
+                        "val_eer", val_metrics.get("val_wer", 1.0)
+                    )
+                    factor = plateau_ctl.update(float(monitor))
+                    state = _scale_injected_lr(state, base_lr * factor)
             if step >= max_steps or (
                 limit_train and epoch_batches >= limit_train
             ):
@@ -794,14 +880,40 @@ def _run_speaker(cfg, dm, task: SpeakerTask, mesh, logger) -> float:
         final = validate(state)
         logger.close()
         return float(final["val_eer"])
-    samples = extract_embeddings(
-        embed,
-        state,
-        list(dm.test_samples()),
-        pad_to_multiple=dl.get("test_pad_to_multiple", 16000),
-        batch_size=dl.get("test_batch_size", 8),
-        num_devices=n_data,
-    )
+    net = cfg["network"]
+    if net.get("use_transformers_as_ensembles") and net["name"] == "wav2vec2_fc":
+        # per-transformer-layer ensemble embeddings, scores averaged by the
+        # evaluator (wav2vec2_fc.py:440-463 / cosine_distance.py:134-185)
+        num_e = int(net.get("num_ensembles", 12))
+
+        @jax.jit
+        def ens_embed(state, feats, mask):
+            return task.model.apply(
+                {"params": state.params, **state.model_state},
+                feats,
+                mask,
+                num_ensembles=num_e,
+                method=Wav2Vec2SpeakerModel.compute_ensemble_embeddings,
+            )
+
+        samples = extract_embeddings(
+            ens_embed,
+            state,
+            list(dm.test_samples()),
+            pad_to_multiple=dl.get("test_pad_to_multiple", 16000),
+            batch_size=dl.get("test_batch_size", 8),
+            num_devices=n_data,
+            ensemble=True,
+        )
+    else:
+        samples = extract_embeddings(
+            embed,
+            state,
+            list(dm.test_samples()),
+            pad_to_multiple=dl.get("test_pad_to_multiple", 16000),
+            batch_size=dl.get("test_batch_size", 8),
+            num_devices=n_data,
+        )
     evaluator.reset_parameters()
     if evaluator.max_num_training_samples:
         tr_embs, tr_labels = collect_train_embeddings(
