@@ -68,8 +68,8 @@ def main():
 
     # min over trials suppresses transport noise; differential cancels
     # fixed per-request overhead
-    t_n = min(timed(n_iters) for _ in range(2))
-    t_2n = min(timed(2 * n_iters) for _ in range(2))
+    t_n = min(timed(n_iters) for _ in range(3))
+    t_2n = min(timed(2 * n_iters) for _ in range(3))
 
     elapsed = max(t_2n - t_n, 1e-9)
     utt_per_sec = n_iters * batch / elapsed

@@ -297,12 +297,13 @@ class SelfAttention(nn.Module):
         head_dim = h // n_heads
         b, t, _ = x.shape
 
-        def proj(name):
-            return nn.Dense(h, dtype=dtype, name=name)(x).reshape(
-                b, t, n_heads, head_dim
-            )
-
-        q, k, v = proj("q_proj"), proj("k_proj"), proj("v_proj")
+        # fused QKV: one [h, 3h] matmul instead of three [h, h] — fewer,
+        # larger MXU ops (converter concatenates the HF q/k/v weights)
+        qkv = nn.Dense(3 * h, dtype=dtype, name="qkv_proj")(x)
+        q, k, v = (
+            part.reshape(b, t, n_heads, head_dim)
+            for part in jnp.split(qkv, 3, axis=-1)
+        )
 
         use_flash = cfg.attention_impl == "flash"
         if use_flash:

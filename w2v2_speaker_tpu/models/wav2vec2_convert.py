@@ -124,18 +124,34 @@ def hf_state_dict_to_flax(
         return np.stack(arrs, axis=0)
 
     block = ("encoder", "layers", "block")
-    for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
-        put(
-            block + ("attention", proj, "kernel"),
-            stacked(
-                "encoder.layers.{i}.attention." + proj + ".weight",
-                transpose=True,
-            ),
+    # fused QKV projection: concat HF's q/k/v along the output dim
+    qkv_kernels = [
+        stacked(
+            "encoder.layers.{i}.attention." + proj + ".weight",
+            transpose=True,
         )
-        put(
-            block + ("attention", proj, "bias"),
-            stacked("encoder.layers.{i}.attention." + proj + ".bias"),
-        )
+        for proj in ("q_proj", "k_proj", "v_proj")
+    ]
+    put(
+        block + ("attention", "qkv_proj", "kernel"),
+        np.concatenate(qkv_kernels, axis=-1),
+    )
+    qkv_biases = [
+        stacked("encoder.layers.{i}.attention." + proj + ".bias")
+        for proj in ("q_proj", "k_proj", "v_proj")
+    ]
+    put(
+        block + ("attention", "qkv_proj", "bias"),
+        np.concatenate(qkv_biases, axis=-1),
+    )
+    put(
+        block + ("attention", "out_proj", "kernel"),
+        stacked("encoder.layers.{i}.attention.out_proj.weight", transpose=True),
+    )
+    put(
+        block + ("attention", "out_proj", "bias"),
+        stacked("encoder.layers.{i}.attention.out_proj.bias"),
+    )
     put(
         block + ("layer_norm", "scale"),
         stacked("encoder.layers.{i}.layer_norm.weight"),
