@@ -593,7 +593,7 @@ def run_train_eval(cfg: Dict) -> float:
         from .lr_find import lr_range_test
 
         example = strip_host_fields(next(iter(dm.train_batches())))
-        params, model_state = task.init(
+        params, model_state = jax.jit(task.init)(
             jax.random.PRNGKey(cfg["seed"]), example
         )
         out_dir = (
@@ -618,7 +618,9 @@ def run_train_eval(cfg: Dict) -> float:
 
 
 def _init_state(cfg, task, example_batch) -> TrainState:
-    params, model_state = task.init(
+    # jitted init: un-jitted flax init dispatches hundreds of tiny ops,
+    # pathological through the remote-TPU transport (CLAUDE.md trap #3)
+    params, model_state = jax.jit(task.init)(
         jax.random.PRNGKey(cfg["seed"]), example_batch
     )
     net = cfg["network"]
