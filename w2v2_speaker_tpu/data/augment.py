@@ -197,12 +197,33 @@ def band_reject(
 
 # ------------------------------------------------------------------ wrappers
 
+class LockedGenerator:
+    """Thread-safe facade over numpy.random.Generator: parameter draws are
+    cheap and serialized; the heavy DSP they parameterize runs in parallel
+    (see data.datamodule.ParallelMap)."""
+
+    def __init__(self, seed):
+        import threading
+
+        self._rng = np.random.default_rng(seed)
+        self._lock = threading.Lock()
+
+    def __getattr__(self, name):
+        method = getattr(self._rng, name)
+
+        def locked(*args, **kwargs):
+            with self._lock:
+                return method(*args, **kwargs)
+
+        return locked
+
+
 class _WavAugment:
     name = "augment"
 
     def __init__(self, sample_rate: int = 16000, seed: int = 0):
         self.sample_rate = sample_rate
-        self.rng = np.random.default_rng(seed)
+        self.rng = LockedGenerator(seed)
 
     def process(self, wav: np.ndarray) -> np.ndarray:
         raise NotImplementedError

@@ -68,6 +68,9 @@ class VoxCelebConfig:
     normalize_input: bool = True
     augmenter: Optional[Augmenter] = None
     limit_samples: Optional[int] = None  # deterministic small-data runs
+    num_pipeline_workers: int = 1  # >1: thread-pool per-sample DSP (order
+    # preserved; RNG draws serialize behind locks, so exact streams differ
+    # from the single-worker run — same caveat as DataLoader workers)
     seed: int = 123
     host_id: int = 0
     num_hosts: int = 1
@@ -103,6 +106,35 @@ class Prefetcher:
                     raise error[0]
                 return
             yield item
+
+
+class ParallelMap:
+    """Ordered thread-pool map over a sample stream.
+
+    The augmentation DSP (numpy/scipy) releases the GIL, so a thread pool
+    scales the per-sample preprocessing across host cores — the TPU-host
+    replacement for the reference's DataLoader worker processes
+    (voxceleb.py:786-808). Order is preserved so seeded pipelines stay
+    reproducible for a fixed worker count.
+    """
+
+    def __init__(self, fn, workers: int = 4, backlog: int = 64):
+        self.fn = fn
+        self.workers = workers
+        self.backlog = backlog
+
+    def __call__(self, items: Iterator) -> Iterator:
+        import concurrent.futures as cf
+        from collections import deque
+
+        with cf.ThreadPoolExecutor(max_workers=self.workers) as pool:
+            pending = deque()
+            for item in items:
+                pending.append(pool.submit(self.fn, item))
+                if len(pending) >= self.backlog:
+                    yield from pending.popleft().result()
+            while pending:
+                yield from pending.popleft().result()
 
 
 def _discover_wavs(root: pathlib.Path) -> List[str]:
@@ -316,10 +348,12 @@ class VoxCelebDataModule:
         selector = ChunkSelector(
             chunk_strategy or cfg.chunk_strategy, cfg.chunk_length_sec
         )
-        rng = np.random.default_rng(cfg.seed + (0 if train else 1))
+        from .augment import LockedGenerator
+
+        rng = LockedGenerator(cfg.seed + (0 if train else 1))
         idx_map = self._speaker_idx_map()
 
-        for sample in reader:
+        def process_one(sample: SpeakerSample) -> List[SpeakerSample]:
             if sample.ground_truth < 0:
                 sample.ground_truth = idx_map.get(
                     sample.key.split("/")[0], -1
@@ -343,7 +377,15 @@ class VoxCelebDataModule:
                         SpeakerSample(s.key, wav.astype(np.float32),
                                       s.ground_truth, s.meta)
                     )
-            yield from out
+            return out
+
+        if train and cfg.num_pipeline_workers > 1:
+            yield from ParallelMap(
+                process_one, workers=cfg.num_pipeline_workers
+            )(iter(reader))
+        else:
+            for sample in reader:
+                yield from process_one(sample)
 
     def train_batches(
         self, batch_processor=None, prefetch_depth: int = 4

@@ -103,6 +103,12 @@ def _interp(x: float, xs: np.ndarray, ys: np.ndarray) -> float:
     y0, y1 = ys[i - 1], ys[i]
     if x1 == x0:
         return float(y0)
+    # the ROC's first threshold knot is +inf (sklearn semantics): any
+    # interpolation against it is the finite neighbor, not nan
+    if not np.isfinite(y0):
+        return float(y1)
+    if not np.isfinite(y1):
+        return float(y0)
     w = (x - x0) / (x1 - x0)
     return float(y0 + w * (y1 - y0))
 

@@ -161,6 +161,7 @@ def build_data_module(cfg: Dict):
                 normalize_input=p["normalize_input"],
                 augmenter=build_augmenter(p, cfg["seed"]),
                 limit_samples=m.get("limit_samples"),
+                num_pipeline_workers=dl.get("num_pipeline_workers", 1),
                 seed=cfg["seed"],
             )
         )
