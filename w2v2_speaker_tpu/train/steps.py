@@ -29,12 +29,17 @@ def make_train_step(
     task: SpeakerTask,
     mesh: Optional[Mesh] = None,
     accumulate_steps: int = 1,
+    infer_state_sharding: bool = False,
 ) -> Callable:
     """Returns jitted step(state, batch) -> (state, metrics).
 
     batch: dict with 'features' [B, ...], optional 'mask' [B, T], 'labels'
     [B]. With accumulate_steps > 1 the batch is split into that many
     microbatches along axis 0 and gradients are averaged on device.
+
+    With `infer_state_sharding` the state's existing per-leaf placements
+    (e.g. tensor-parallel shardings from `parallel.tp.apply_tp_sharding`)
+    are respected instead of forcing full replication.
     """
 
     def loss_for_grad(params, model_state, batch, rng):
@@ -89,8 +94,15 @@ def make_train_step(
         return new_state, metrics
 
     if mesh is not None:
-        state_sh = replicated(mesh)
         batch_sh = batch_sharding(mesh)
+        if infer_state_sharding:
+            # keep the state's own (possibly tensor-parallel) placements
+            return jax.jit(
+                step,
+                in_shardings=(None, batch_sh),
+                donate_argnums=(0,),
+            )
+        state_sh = replicated(mesh)
         return jax.jit(
             step,
             in_shardings=(state_sh, batch_sh),
