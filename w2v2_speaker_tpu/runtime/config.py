@@ -55,10 +55,14 @@ def _deep_merge(base: Dict, extra: Dict) -> Dict:
 def _set_path(cfg: Dict, dotted: str, value: Any) -> None:
     node = cfg
     parts = dotted.replace("/", ".").split(".")
-    for p in parts[:-1]:
-        node = node.setdefault(p, {})
-        if not isinstance(node, dict):
-            raise ConfigError(f"cannot set {dotted}: {p} is not a mapping")
+    for i, p in enumerate(parts[:-1]):
+        nxt = node.get(p)
+        if not isinstance(nxt, dict):
+            # tolerate scalar->mapping promotion (e.g. hydra/launcher=slurm
+            # followed by hydra.launcher.x=y: launcher passthrough keys)
+            nxt = {}
+            node[p] = nxt
+        node = nxt
     node[parts[-1]] = value
 
 

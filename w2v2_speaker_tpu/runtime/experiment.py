@@ -155,7 +155,8 @@ def build_data_module(cfg: Dict):
                 use_gzip_compression=s["use_gzip_compression"],
                 shuffle_shards=s["shuffle_shards"],
                 queue_size=dl["queue_size"],
-                batch_size=dl["batch_size"],
+                # the reference README uses data.dataloader.train_batch_size
+                batch_size=dl.get("train_batch_size") or dl["batch_size"],
                 chunk_length_sec=p["chunk_length_sec"],
                 chunk_strategy=p["chunk_strategy"],
                 normalize_input=p["normalize_input"],
@@ -598,7 +599,7 @@ def run_train_eval(cfg: Dict) -> float:
         devices = devices[: int(nd)]
     mesh = create_mesh(devices)
 
-    if cfg.get("run_lr_range_test"):
+    if cfg.get("run_lr_range_test") or cfg.get("tune_model"):
         # the reference's tune path (main.py:458-493): sweep, dump
         # artifacts, return the suggestion instead of training
         from .lr_find import lr_range_test
@@ -613,6 +614,7 @@ def run_train_eval(cfg: Dict) -> float:
         )
         result = lr_range_test(
             task, params, model_state, dm.train_batches(), mesh,
+            num_steps=int(cfg.get("tune_iterations") or 100),
             output_dir=out_dir,
         )
         print(f"lr suggestion: {result['suggestion']}")
