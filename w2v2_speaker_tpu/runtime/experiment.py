@@ -237,6 +237,7 @@ def _w2v2_config(net: Dict, precision: str, remat: bool) -> Wav2Vec2Config:
             "mask_time_prob": net["mask_time_prob"],
             "dtype": "bfloat16" if precision == "bf16" else "float32",
             "remat": remat,
+            "attention_impl": net.get("attention_impl", "xla"),
         }
     )
 
