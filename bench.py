@@ -58,7 +58,7 @@ def main():
     # barrier on this transport (block_until_ready resolves futures lazily)
     float(run(1, *head, fresh_wav()))
 
-    n_iters = 64
+    n_iters = 128  # large enough that device time dominates transport jitter
 
     def timed(n):
         w = fresh_wav()

@@ -84,3 +84,40 @@ def test_lr_range_test_runs():
     assert len(result["lr"]) == len(result["loss"])
     assert 1e-8 <= result["suggestion"] <= 1.0
     assert np.isfinite(result["loss"]).all()
+
+
+def test_batch_gradient_verification():
+    import jax
+    import jax.numpy as jnp
+
+    from w2v2_speaker_tpu.models.xvector import XVectorConfig, XVectorModel
+    from w2v2_speaker_tpu.runtime.debug import batch_gradient_verification
+    from w2v2_speaker_tpu.train.speaker_task import SpeakerTask
+
+    cfg = XVectorConfig(
+        in_channels=8, tdnn_channels=(16, 16), tdnn_kernel_sizes=(3, 1),
+        tdnn_dilations=(1, 1), lin_neurons=8,
+    )
+    model = XVectorModel(cfg=cfg, num_speakers=4)
+    task = SpeakerTask(model=model, mode="ce")
+    rng = np.random.default_rng(0)
+    batch = {
+        "features": rng.normal(size=(4, 12, 8)).astype(np.float32),
+        "mask": np.ones((4, 12), bool),
+        "labels": rng.integers(0, 4, size=4),
+    }
+    params, mstate = task.init(jax.random.PRNGKey(0), batch)
+    # clean model: passes
+    assert batch_gradient_verification(
+        lambda f, m: task.embed_fn(params, mstate, f, m),
+        batch["features"],
+        batch["mask"],
+    )
+
+    # leaky model: embeddings mix across the batch -> must be caught
+    def leaky(f, m):
+        emb = task.embed_fn(params, mstate, f, m)
+        return emb + emb.mean(axis=0, keepdims=True)
+
+    with pytest.raises(AssertionError, match="leakage"):
+        batch_gradient_verification(leaky, batch["features"], batch["mask"])

@@ -60,6 +60,47 @@ def dump_first_batch(batch: Dict[str, Any], save_dir: pathlib.Path) -> None:
             (save_dir / f"batch_{key}.txt").write_text(repr(value))
 
 
+def batch_gradient_verification(
+    embed_fn, features, mask=None, perturb_index: int = 0, eps: float = 1e3
+) -> bool:
+    """Cross-batch information-leakage check (the reference's
+    BatchGradientVerification role, `main.py:343-351`): perturbing one sample
+    of a batch must not change any other sample's embedding. Runs in eval
+    mode (batch-norm uses running statistics, so a correct model is exactly
+    per-sample independent).
+
+    Returns True when no leakage is detected; raises AssertionError
+    otherwise.
+    """
+    import numpy as np
+
+    base = np.asarray(embed_fn(features, mask))
+    perturbed = np.array(features)
+    # replace the sample with fresh random content: affine perturbations are
+    # nulled by per-utterance normalization and permutations by stats
+    # pooling, so substitution is the only robust probe
+    rng = np.random.default_rng(0)
+    scale = float(np.abs(perturbed[perturb_index]).mean() + 1e-3)
+    perturbed[perturb_index] = rng.normal(
+        scale=scale, size=perturbed[perturb_index].shape
+    ).astype(perturbed.dtype)
+    out = np.asarray(embed_fn(perturbed, mask))
+    changed = np.abs(out - base).reshape(out.shape[0], -1).max(axis=1)
+    others = np.delete(changed, perturb_index)
+    if (others > 1e-5).any():
+        raise AssertionError(
+            f"cross-batch leakage: perturbing sample {perturb_index} changed "
+            f"{int((others > 1e-5).sum())} other samples "
+            f"(max delta {others.max():.3e})"
+        )
+    if changed[perturb_index] == 0.0:
+        raise AssertionError(
+            "perturbation did not affect the perturbed sample — "
+            "the check is vacuous"
+        )
+    return True
+
+
 def model_summary(params) -> str:
     """Per-top-level-module parameter counts + total."""
     lines = []

@@ -656,9 +656,18 @@ def _init_state(cfg, task, example_batch) -> TrainState:
     if cfg.get("load_network_from_checkpoint"):
         params = load_params(cfg["load_network_from_checkpoint"], params)
     if cfg.get("verify_model"):
-        from .debug import model_summary
+        from .debug import batch_gradient_verification, model_summary
 
         print(model_summary(params))
+        if hasattr(task, "embed_fn"):
+            bs = example_batch["features"].shape[0]
+            if bs >= 2:
+                batch_gradient_verification(
+                    lambda f, m: task.embed_fn(params, model_state, f, m),
+                    np.asarray(example_batch["features"]),
+                    example_batch.get("mask"),
+                )
+                print("batch gradient verification: no cross-batch leakage")
     tx = build_optimizer(cfg)
     return TrainState.create(
         apply_fn=task.model.apply,
