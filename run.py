@@ -52,6 +52,54 @@ def _expand_multirun(overrides):
     return runs
 
 
+def _run_search(overrides, load_config, run_train_eval) -> float:
+    """TPE hyperparameter search (the reference's optuna sweeper presets,
+    `config/search/*.yaml`): `python run.py -m +search=lr_and_pooling ...`.
+
+    Each trial composes the full config (incl. the search preset's own
+    defaults overrides) plus the sampled `key=value` overrides, runs
+    train+eval, and feeds the scalar objective back to the sampler."""
+    from w2v2_speaker_tpu.runtime.sweeper import TPESampler, format_override
+
+    # compose once to read the search settings (incl. CLI overrides on them)
+    base_cfg = load_config(CONFIG_DIR, "train_eval", overrides)
+    scfg = base_cfg.get("search") or {}
+    if not scfg.get("search_space"):
+        raise SystemExit(
+            "search preset has no search_space (use +search=<preset>)"
+        )
+    sampler = TPESampler(
+        scfg["search_space"],
+        seed=int(scfg.get("seed", 123)),
+        n_startup_trials=int(scfg.get("n_startup_trials", 10)),
+        direction=scfg.get("direction", "minimize"),
+    )
+    n_trials = int(scfg.get("n_trials", 128))
+    study = scfg.get("study_name", "search")
+    base_ckpt = str(base_cfg["trainer"]["checkpoint_dir"])
+    for i in range(n_trials):
+        params = sampler.ask()
+        trial_ovs = [format_override(k, v) for k, v in params.items()]
+        print(f"=== search trial {i}/{n_trials} [{study}]: {trial_ovs}")
+        cfg = load_config(CONFIG_DIR, "train_eval", overrides + trial_ovs)
+        cfg["trainer"]["checkpoint_dir"] = f"{base_ckpt}/trial{i}"
+        try:
+            objective = float(run_train_eval(cfg))
+        except (FloatingPointError, ValueError, RuntimeError) as e:
+            # failed trials are pruned, not fatal (the reference's sweeps
+            # survive via sentinel EER fallbacks, eval_metrics sentinels)
+            print(f"trial {i} failed: {e!r}")
+            continue
+        sampler.tell(params, objective)
+        print(f"trial {i} objective: {objective}")
+    best_params, best = sampler.best
+    print(f"=== search [{study}] best objective: {best}")
+    for k, v in best_params.items():
+        print(f"  {format_override(k, v)}")
+    print(f"objective: {best}")
+    return best
+
+
 def main(argv=None) -> float:
     _load_dotenv()
     overrides = list(sys.argv[1:] if argv is None else argv)
@@ -63,6 +111,12 @@ def main(argv=None) -> float:
 
     from w2v2_speaker_tpu.runtime.config import load_config
     from w2v2_speaker_tpu.runtime.experiment import run_train_eval
+
+    has_search = any(
+        ov.split("=", 1)[0].lstrip("+") == "search" for ov in overrides
+    )
+    if has_search:
+        return _run_search(overrides, load_config, run_train_eval)
 
     if not multirun:
         cfg = load_config(CONFIG_DIR, "train_eval", overrides)

@@ -63,3 +63,72 @@ def test_fbank_sensitivity_to_tone_frequency():
     fb_low = np.asarray(log_mel_filterbank(low[None], cfg))[0].mean(axis=0)
     fb_high = np.asarray(log_mel_filterbank(high[None], cfg))[0].mean(axis=0)
     assert fb_low.argmax() < fb_high.argmax()
+
+
+def test_fbank_lengths_reflects_at_true_utterance_end():
+    """Padded-batch fbank with per-row lengths must bit-match the solo
+    (unpadded) computation on every valid frame — the reflection must happen
+    at the true utterance end, not at the zero-padded batch edge."""
+    cfg = FbankConfig()
+    rng = np.random.default_rng(7)
+    n_pad = 24000
+    lens = [24000, 17003, 9000]
+    wavs = [rng.normal(size=n).astype(np.float32) for n in lens]
+    batch = np.zeros((len(lens), n_pad), np.float32)
+    for i, w in enumerate(wavs):
+        batch[i, : len(w)] = w
+    got = np.asarray(
+        log_mel_filterbank(batch, cfg, lengths=np.asarray(lens))
+    )
+    for i, w in enumerate(wavs):
+        solo = np.asarray(log_mel_filterbank(w[None], cfg))[0]
+        t = num_frames(lens[i], cfg)
+        assert solo.shape[0] == t
+        np.testing.assert_array_equal(got[i, :t], solo)
+
+
+def test_fbank_frontend_padding_invariance():
+    """Frontend-level invariance: batched padded eval through FbankFrontend
+    (incl. masked normalization) must reproduce the unpadded forward."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    from w2v2_speaker_tpu.models.frontend import FbankFrontend
+
+    class Probe(nn.Module):
+        """Returns masked mean over frames — any frame leakage shows up."""
+
+        @nn.compact
+        def __call__(self, feats, frame_mask, train=False, labels=None):
+            m = frame_mask.astype(feats.dtype)[:, :, None]
+            return (feats**2 * m).sum(axis=1) / m.sum(axis=1)
+
+        def compute_embedding(self, feats, frame_mask):
+            return self(feats, frame_mask)
+
+    model = FbankFrontend(Probe())
+    rng = np.random.default_rng(3)
+    lens = [16000, 11313]
+    n_pad = 16000
+    batch = np.zeros((2, n_pad), np.float32)
+    mask = np.zeros((2, n_pad), bool)
+    wavs = [rng.normal(size=n).astype(np.float32) for n in lens]
+    for i, w in enumerate(wavs):
+        batch[i, : len(w)] = w
+        mask[i, : len(w)] = True
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(batch), jnp.asarray(mask)
+    )
+    padded = np.asarray(
+        model.apply(variables, jnp.asarray(batch), jnp.asarray(mask))
+    )
+    for i, w in enumerate(wavs):
+        solo = np.asarray(
+            model.apply(
+                variables,
+                jnp.asarray(w[None]),
+                jnp.ones((1, len(w)), bool),
+            )
+        )[0]
+        np.testing.assert_allclose(padded[i], solo, rtol=1e-5, atol=1e-6)

@@ -1,0 +1,160 @@
+"""Gradient accumulation parity across ALL task families on the 8-device
+mesh: with deterministic models (no dropout/layerdrop), accumulate_steps=2
+must reproduce the accumulate_steps=1 parameter/loss trajectory (the
+reference's module-agnostic accumulate_grad_batches, trainer.yaml:33)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from w2v2_speaker_tpu.models.wav2vec2 import Wav2Vec2Config
+from w2v2_speaker_tpu.parallel.mesh import create_mesh, shard_batch
+from w2v2_speaker_tpu.train.state import TrainState
+from w2v2_speaker_tpu.train.steps import make_train_step
+
+TINY = Wav2Vec2Config(
+    conv_dim=(16, 16),
+    conv_kernel=(10, 3),
+    conv_stride=(5, 2),
+    hidden_size=32,
+    num_layers=2,
+    num_heads=4,
+    intermediate_size=64,
+    num_conv_pos_embeddings=16,
+    num_conv_pos_embedding_groups=4,
+    layerdrop=0.0,
+    mask_time_prob=0.0,
+    hidden_dropout=0.0,
+    attention_dropout=0.0,
+    feat_proj_dropout=0.0,
+)
+N = 800
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return create_mesh()
+
+
+def _run_steps(task, state, batches, mesh, acc):
+    step = make_train_step(task, mesh, accumulate_steps=acc)
+    losses = []
+    for b in batches:
+        state, metrics = step(state, shard_batch(b, mesh))
+        losses.append(float(metrics["loss"]))
+    return state, losses
+
+
+def _trajectory_parity(task, batches, mesh, example):
+    params, mstate = task.init(jax.random.PRNGKey(0), example)
+    # the train step donates its state: give each run its own buffer copies
+    mk = lambda: TrainState.create(
+        apply_fn=task.model.apply,
+        params=jax.tree.map(jnp.copy, params),
+        tx=optax.adam(1e-3),
+        model_state=jax.tree.map(jnp.copy, mstate),
+        rng=jax.random.PRNGKey(1),
+    )
+    s1, l1 = _run_steps(task, mk(), batches, mesh, acc=1)
+    s2, l2 = _run_steps(task, mk(), batches, mesh, acc=2)
+    np.testing.assert_allclose(l1, l2, rtol=2e-4, atol=2e-5)
+    deltas = jax.tree.leaves(
+        jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), s1.params, s2.params
+        )
+    )
+    assert max(deltas) < 5e-5, f"param trajectories diverged: {max(deltas)}"
+
+
+def test_paired_accumulation_matches(mesh):
+    from w2v2_speaker_tpu.models.wav2vec2_paired import (
+        Wav2Vec2PairedConfig,
+        Wav2Vec2PairedModel,
+    )
+    from w2v2_speaker_tpu.train.paired_task import PairedSpeakerTask
+
+    model = Wav2Vec2PairedModel(cfg=Wav2Vec2PairedConfig(w2v2=TINY))
+    task = PairedSpeakerTask(model=model)
+    rng = np.random.default_rng(0)
+
+    def batch(seed):
+        r = np.random.default_rng(seed)
+        bs = 8
+        return {
+            "features_a": jnp.asarray(
+                r.normal(0, 0.3, (bs, N)).astype(np.float32)
+            ),
+            "features_b": jnp.asarray(
+                r.normal(0, 0.3, (bs, N)).astype(np.float32)
+            ),
+            "mask_a": jnp.ones((bs, N), bool),
+            "mask_b": jnp.ones((bs, N), bool),
+            "labels": jnp.asarray(r.integers(0, 2, bs)),
+        }
+
+    batches = [batch(s) for s in range(3)]
+    _trajectory_parity(task, batches, mesh, batches[0])
+
+
+def test_speech_accumulation_matches(mesh):
+    from w2v2_speaker_tpu.data.tokenizer import CharTokenizer
+    from w2v2_speaker_tpu.models.wav2vec2_speech import (
+        Wav2Vec2SpeechConfig,
+        Wav2Vec2SpeechModel,
+    )
+    from w2v2_speaker_tpu.train.speech_task import SpeechTask
+
+    tok = CharTokenizer.build(["hello world abc"])
+    model = Wav2Vec2SpeechModel(
+        cfg=Wav2Vec2SpeechConfig(
+            w2v2=TINY, vocab_size=tok.vocab_size, head_dropout=0.0
+        )
+    )
+    task = SpeechTask(model=model, tokenizer=tok)
+
+    def batch(seed):
+        r = np.random.default_rng(seed)
+        bs, max_lab = 8, 6
+        labels = r.integers(1, tok.vocab_size, (bs, max_lab))
+        lengths = np.full(bs, max_lab)
+        return {
+            "features": jnp.asarray(
+                r.normal(0, 0.3, (bs, N)).astype(np.float32)
+            ),
+            "mask": jnp.ones((bs, N), bool),
+            "labels": jnp.asarray(labels),
+            "label_lengths": jnp.asarray(lengths),
+        }
+
+    batches = [batch(s) for s in range(3)]
+    _trajectory_parity(task, batches, mesh, batches[0])
+
+
+def test_speaker_accumulation_matches(mesh):
+    from w2v2_speaker_tpu.models.wav2vec2_speaker import (
+        Wav2Vec2SpeakerConfig,
+        Wav2Vec2SpeakerModel,
+    )
+    from w2v2_speaker_tpu.train.speaker_task import SpeakerTask
+
+    model = Wav2Vec2SpeakerModel(
+        cfg=Wav2Vec2SpeakerConfig(w2v2=TINY, stat_pooling_type="mean"),
+        num_speakers=8,
+    )
+    task = SpeakerTask(model=model, mode="ce")
+
+    def batch(seed):
+        r = np.random.default_rng(seed)
+        bs = 8
+        return {
+            "features": jnp.asarray(
+                r.normal(0, 0.3, (bs, N)).astype(np.float32)
+            ),
+            "mask": jnp.ones((bs, N), bool),
+            "labels": jnp.asarray(r.integers(0, 8, bs)),
+        }
+
+    batches = [batch(s) for s in range(3)]
+    _trajectory_parity(task, batches, mesh, batches[0])

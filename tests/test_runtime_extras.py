@@ -133,3 +133,29 @@ def test_dump_first_batch(corpus, tmp_path):
     dump_dir = tmp_path / "first_batch"
     assert (dump_dir / "batch_features.npy").exists()
     assert (dump_dir / "batch_labels.npy").exists()
+
+
+@pytest.mark.parametrize(
+    "preset", ["speaker_wav2vec2_triplet", "speaker_wav2vec2_triplet_ce"]
+)
+def test_triplet_recipes_end_to_end(corpus, tmp_path, preset):
+    """The reference's triplet recipes (speaker_wav2vec2_triplet[_ce].yaml)
+    compose from the CLI and train end-to-end; the runtime must route them
+    through TripletBatchProcessor so every anchor has an in-batch positive."""
+    import run as run_cli
+
+    objective = run_cli.main(
+        _base_overrides(
+            corpus, tmp_path / preset,
+            [
+                f"+experiment={preset}",
+                "network.wav2vec2_size=tiny",
+                "network.layerdrop=0.0",
+                "trainer.max_steps=4",
+                "trainer.val_check_interval=2",
+                "trainer.precision=f32",
+                "data.dataloader.batch_size=8",
+            ],
+        )
+    )
+    assert 0.0 <= objective <= 1.0

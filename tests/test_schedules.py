@@ -100,3 +100,52 @@ def test_get_schedule_factory():
     assert float(s(123)) == pytest.approx(0.01)
     with pytest.raises(ValueError):
         schedules.get_schedule("bogus")
+
+
+def test_scale_injected_lr_updates_effective_lr():
+    """_scale_injected_lr must change the lr the optimizer actually applies,
+    including when inject_hyperparams is nested inside the freeze-schedule
+    wrapper (reference behavior: torch ReduceLROnPlateau mutates param-group
+    lr regardless of other optimizer wrappers)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import optax.tree_utils as otu
+
+    from w2v2_speaker_tpu.runtime.experiment import _scale_injected_lr
+    from w2v2_speaker_tpu.train.state import (
+        TrainState,
+        make_freeze_schedule_tx,
+    )
+
+    params = {"wav2vec2": {"w": jnp.ones(3)}, "head": {"w": jnp.ones(3)}}
+    grads = jax.tree.map(jnp.ones_like, params)
+
+    def make(learning_rate):
+        return optax.sgd(learning_rate)
+
+    for wrap_freeze in (False, True):
+        tx = optax.inject_hyperparams(make)(learning_rate=0.1)
+        if wrap_freeze:
+            tx = make_freeze_schedule_tx(
+                tx,
+                frozen_predicate=lambda p: p.startswith("wav2vec2"),
+                num_frozen_steps=1,
+            )
+        state = TrainState.create(apply_fn=None, params=params, tx=tx)
+        state = _scale_injected_lr(state, 0.001)
+        assert float(
+            otu.tree_get(state.opt_state, "learning_rate")
+        ) == pytest.approx(0.001)
+        # the effective sgd step must use the new lr: delta = -lr * grad
+        new_state = state.apply_gradients(grads)
+        head_delta = float(
+            (new_state.params["head"]["w"] - params["head"]["w"])[0]
+        )
+        assert head_delta == pytest.approx(-0.001, rel=1e-4)
+        # original state untouched (functional update, no aliasing)
+        assert float(
+            otu.tree_get(TrainState.create(
+                apply_fn=None, params=params, tx=tx
+            ).opt_state, "learning_rate")
+        ) == pytest.approx(0.1)

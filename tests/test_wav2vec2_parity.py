@@ -149,13 +149,14 @@ def test_frame_length_formula(base_pair):
 
 def test_base_frame_formula_matches_reference_hardcode():
     """Reference hard-codes floor((n-80)/320) for BASE
-    (wav2vec2_fc_letter.py:146) — verify our per-layer formula agrees for
-    realistic lengths."""
+    (wav2vec2_fc_letter.py:146) — pin the exact frame count per input and
+    verify the hardcode agrees at these lengths (it is only an approximation
+    of the true per-layer formula, so each value is pinned explicitly)."""
     base = Wav2Vec2Config()
-    for n in [16000, 48000, 100000]:
-        assert feat_extract_output_lengths(n, base) == (n - 80) // 320 - 1 or (
-            feat_extract_output_lengths(n, base) == (n - 80) // 320
-        )
+    expected = {400: 1, 16000: 49, 48000: 149, 100000: 312}
+    for n, want in expected.items():
+        assert feat_extract_output_lengths(n, base) == want
+        assert want == (n - 80) // 320
 
 
 def test_hidden_states_output(base_pair):

@@ -97,8 +97,15 @@ class TripletBatchProcessor:
         size = 0
         seen_keys = set()
 
-        def valid_speakers():
-            return [k for k, v in by_speaker.items() if len(v) >= 2]
+        def can_fill():
+            """A FULL fixed-size batch of (anchor, positive) pairs spanning
+            >= 2 distinct speakers — unlike the reference (which yields
+            ragged batches the moment 2 speakers are valid,
+            voxceleb.py:930-931), XLA wants static shapes, so we queue until
+            max_batch_size is actually drawable."""
+            valid = [k for k, v in by_speaker.items() if len(v) >= 2]
+            pairs = sum(len(v) // 2 for v in by_speaker.values())
+            return len(valid) >= 2 and pairs >= self.max_batch_size // 2
 
         for s in samples:
             if s.key in seen_keys:
@@ -106,17 +113,16 @@ class TripletBatchProcessor:
             seen_keys.add(s.key)
             by_speaker[s.ground_truth].append(s)
             size += 1
-            if len(valid_speakers()) >= 2 and size >= 4:
+            if size >= self.max_queue_size and can_fill():
                 yield self._draw(by_speaker)
                 size = sum(len(v) for v in by_speaker.values())
             if size >= self.max_queue_size * 2:
                 raise ValueError(
                     "queue exceeded limit while unable to ensure triplets"
                 )
-        while len(valid_speakers()) >= 2 and sum(
-            len(v) for v in by_speaker.values()
-        ) >= 4:
+        while can_fill():
             yield self._draw(by_speaker)
+            size = sum(len(v) for v in by_speaker.values())
         leftovers = [s for v in by_speaker.values() for s in v]
         if self.ensure_all_samples_seen:
             for i in range(0, len(leftovers), self.max_batch_size):
@@ -125,19 +131,23 @@ class TripletBatchProcessor:
             print(f"discarding {len(leftovers)} samples due to no triplet")
 
     def _draw(self, by_speaker) -> Dict:
-        valid = [k for k, v in by_speaker.items() if len(v) >= 2]
-        chosen = self.rng.choice(
-            np.asarray(valid),
-            size=min(self.max_batch_size // 2, len(valid)),
-            replace=False,
-        )
+        """Pop max_batch_size samples as same-speaker (anchor, positive)
+        pairs; a speaker may contribute several pairs when fewer than
+        max_batch_size/2 speakers are valid (small corpora), keeping the
+        batch shape static."""
         batch = []
-        for k in chosen.tolist():
-            lst = by_speaker[k]
-            for _ in range(2):
-                batch.append(lst.pop(int(self.rng.integers(len(lst)))))
-            if not lst:
-                del by_speaker[k]
+        while len(batch) < self.max_batch_size:
+            valid = [k for k, v in by_speaker.items() if len(v) >= 2]
+            take = min(len(valid), (self.max_batch_size - len(batch)) // 2)
+            chosen = self.rng.choice(
+                np.asarray(valid), size=take, replace=False
+            )
+            for k in chosen.tolist():
+                lst = by_speaker[k]
+                for _ in range(2):
+                    batch.append(lst.pop(int(self.rng.integers(len(lst)))))
+                if not lst:
+                    del by_speaker[k]
         return self.collate_fn(batch)
 
 

@@ -335,13 +335,19 @@ class VoxCelebDataModule:
         split: str,
         train: bool,
         chunk_strategy: Optional[str] = None,
+        epoch: int = 0,
     ) -> Iterator[SpeakerSample]:
         cfg = self.cfg
         d = cfg.shards_dir / split
+        # epoch-dependent seeds: shard order, chunk offsets and batch
+        # composition must differ across epochs (the reference reshuffles
+        # per epoch via DataLoader); large-prime stride keeps streams
+        # disjoint from the val pipeline's seed+1
+        eseed = cfg.seed + epoch * 9973 if train else cfg.seed
         reader = ShardReader(
             ShardReader.discover(d),
             shuffle_shards=cfg.shuffle_shards and train,
-            seed=cfg.seed,
+            seed=eseed,
             host_id=cfg.host_id,
             num_hosts=cfg.num_hosts,
         )
@@ -350,7 +356,7 @@ class VoxCelebDataModule:
         )
         from .augment import LockedGenerator
 
-        rng = LockedGenerator(cfg.seed + (0 if train else 1))
+        rng = LockedGenerator(eseed + (0 if train else 1))
         idx_map = self._speaker_idx_map()
 
         def process_one(sample: SpeakerSample) -> List[SpeakerSample]:
@@ -388,17 +394,17 @@ class VoxCelebDataModule:
                 yield from process_one(sample)
 
     def train_batches(
-        self, batch_processor=None, prefetch_depth: int = 4
+        self, batch_processor=None, prefetch_depth: int = 4, epoch: int = 0
     ) -> Iterable[Dict]:
         cfg = self.cfg
         proc = batch_processor or RandomBatchProcessor(
             max_batch_size=cfg.batch_size,
             max_queue_size=cfg.queue_size,
             collate_fn=collate_speaker_batch,
-            seed=cfg.seed,
+            seed=cfg.seed + epoch * 9973,
         )
         return Prefetcher(
-            lambda: proc(self._pipeline("train", train=True)),
+            lambda: proc(self._pipeline("train", train=True, epoch=epoch)),
             depth=prefetch_depth,
         )
 

@@ -94,11 +94,20 @@ def num_frames(num_samples: int, cfg: FbankConfig = FbankConfig()) -> int:
 
 
 def log_mel_filterbank(
-    wav: jax.Array, cfg: FbankConfig = FbankConfig()
+    wav: jax.Array,
+    cfg: FbankConfig = FbankConfig(),
+    lengths: Optional[jax.Array] = None,
 ) -> jax.Array:
     """[batch, samples] waveform -> [batch, frames, n_mels] log-mel features.
 
     Jittable; all heavy lifting is three matmuls on the MXU.
+
+    `lengths` [batch] gives the true (pre-padding) sample count per row. With
+    center=True the reflection then happens at each utterance's TRUE end (a
+    per-row gather), not at the zero-padded batch edge — so the first
+    `num_frames(length)` frames of a padded row are bit-identical to the
+    unpadded computation (padding invariance; frames beyond that are garbage
+    and must be masked by the caller).
     """
     if wav.ndim != 2:
         raise ValueError(f"expected [batch, samples], got {wav.shape}")
@@ -107,7 +116,16 @@ def log_mel_filterbank(
     x = wav.astype(jnp.float32)
     if cfg.center:
         p = cfg.n_fft // 2
-        x = jnp.pad(x, ((0, 0), (p, p)), mode="reflect")
+        if lengths is None:
+            x = jnp.pad(x, ((0, 0), (p, p)), mode="reflect")
+        else:
+            n = x.shape[1]
+            last = jnp.maximum(lengths.astype(jnp.int32) - 1, 0)[:, None]
+            j = jnp.arange(-p, n + p, dtype=jnp.int32)[None, :]
+            i = jnp.abs(j)  # left-edge reflect (excl. edge, as jnp.pad)
+            i = jnp.where(i > last, 2 * last - i, i)  # right at true end
+            i = jnp.clip(i, 0, n - 1)  # all-padding rows degrade gracefully
+            x = jnp.take_along_axis(x, jnp.broadcast_to(i, (x.shape[0], i.shape[1])), axis=1)
 
     # frames: [batch, num_frames, n_fft]
     frames = jax.lax.conv_general_dilated_patches(

@@ -189,13 +189,13 @@ class LibriSpeechDataModule:
 
     # ------------------------------------------------------------ loaders
 
-    def _samples(self, split: str) -> Iterator[SpeechSample]:
+    def _samples(self, split: str, epoch: int = 0) -> Iterator[SpeechSample]:
         cfg = self.cfg
         d = cfg.shards_dir / split
         reader = ShardReader(
             ShardReader.discover(d),
             shuffle_shards=split == self.TRAIN,
-            seed=cfg.seed,
+            seed=cfg.seed + epoch * 9973,
             host_id=cfg.host_id if split == self.TRAIN else 0,
             num_hosts=cfg.num_hosts if split == self.TRAIN else 1,
         )
@@ -209,7 +209,9 @@ class LibriSpeechDataModule:
                 tokens=tok.encode(text),
             )
 
-    def train_batches(self, prefetch_depth: int = 4) -> Iterable[Dict]:
+    def train_batches(
+        self, prefetch_depth: int = 4, epoch: int = 0
+    ) -> Iterable[Dict]:
         cfg = self.cfg
 
         def collate(samples):
@@ -222,10 +224,11 @@ class LibriSpeechDataModule:
             max_queue_size=cfg.max_queue_size,
             collate_fn=collate,
             max_batch_size=cfg.max_batch_size,
-            seed=cfg.seed,
+            seed=cfg.seed + epoch * 9973,
         )
         return Prefetcher(
-            lambda: proc(self._samples(self.TRAIN)), depth=prefetch_depth
+            lambda: proc(self._samples(self.TRAIN, epoch=epoch)),
+            depth=prefetch_depth,
         )
 
     def eval_batches(self, split: str, batch_size: int = 8) -> Iterable[Dict]:

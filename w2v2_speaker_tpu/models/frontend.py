@@ -29,12 +29,18 @@ class FbankFrontend(nn.Module):
     normalize: bool = True
 
     def _features(self, wav, wav_mask):
-        feats = log_mel_filterbank(wav, self.fbank)
         frame_mask = None
-        if wav_mask is not None:
-            lengths = wav_mask.sum(axis=-1) // self.fbank.hop_length + 1
+        if wav_mask is None:
+            feats = log_mel_filterbank(wav, self.fbank)
+        else:
+            # reflect at each utterance's true end (not the zero-padded batch
+            # edge) so padded-batch features bit-match the solo computation;
+            # frames past num_frames(length) are garbage and masked out below
+            lengths = wav_mask.sum(axis=-1)
+            feats = log_mel_filterbank(wav, self.fbank, lengths=lengths)
+            n_frames = lengths // self.fbank.hop_length + 1
             t = feats.shape[1]
-            frame_mask = jnp.arange(t)[None, :] < lengths[:, None]
+            frame_mask = jnp.arange(t)[None, :] < n_frames[:, None]
         if self.normalize:
             if frame_mask is None:
                 mean = feats.mean(axis=1, keepdims=True)

@@ -100,9 +100,11 @@ def mine_triplets(
     For each anchor i picks a random positive j (same label, j != i) and a
     random negative k (different label) — the Gumbel-argmax over valid
     candidates is an exact uniform choice, replacing the reference's python
-    `random.choice` loops (triplet_loss.py:76-97). The batch builder
-    guarantees >= 2 samples per present speaker (TripletSpeakerBatchProcessor
-    contract), so valid candidates always exist.
+    `random.choice` loops (triplet_loss.py:76-97). The runtime feeds triplet
+    modes through TripletBatchProcessor (>= 2 samples per present speaker),
+    but anchors without a valid positive/negative can still occur in
+    hand-built batches: their argmax over an all -inf row is meaningless, so
+    `triplet_loss` masks them out of the mean.
     """
     b = labels.shape[0]
     same = labels[:, None] == labels[None, :]
@@ -126,7 +128,9 @@ def triplet_loss(
     margin: float = 1.0,
 ) -> jax.Array:
     """torch.nn.functional.triplet_margin_loss semantics (p=2, eps=1e-6):
-    mean(max(d(a, p) - d(a, n) + margin, 0))."""
+    mean(max(d(a, p) - d(a, n) + margin, 0)), averaged only over anchors
+    that have both a valid positive (same label, other sample) and a valid
+    negative in the batch."""
     pos_idx, neg_idx = mine_triplets(rng, labels)
     anchor = embeddings
     positive = embeddings[pos_idx]
@@ -135,9 +139,15 @@ def triplet_loss(
     def dist(a, b):
         return jnp.sqrt(jnp.sum((a - b + 1e-6) ** 2, axis=-1))
 
-    return jnp.maximum(
+    per_anchor = jnp.maximum(
         dist(anchor, positive) - dist(anchor, negative) + margin, 0.0
-    ).mean()
+    )
+    same = labels[:, None] == labels[None, :]
+    eye = jnp.eye(labels.shape[0], dtype=bool)
+    valid = ((same & ~eye).any(axis=1) & (~same).any(axis=1)).astype(
+        per_anchor.dtype
+    )
+    return (per_anchor * valid).sum() / jnp.maximum(valid.sum(), 1.0)
 
 
 def triplet_cross_entropy(

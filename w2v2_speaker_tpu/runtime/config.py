@@ -227,18 +227,20 @@ def apply_overrides(
             key = key[1:]
         norm = key.replace(".", "/")
 
-        # experiment preset (global package)
-        if norm == "experiment":
-            preset = _read_yaml(config_dir / "experiment" / f"{raw}.yaml")
+        # experiment / search preset (global package)
+        if norm in ("experiment", "search"):
+            preset = _read_yaml(config_dir / norm / f"{raw}.yaml")
             is_global = preset.pop("__global_package__", False)
             defaults = preset.pop("defaults", [])
             _apply_defaults(cfg, defaults, config_dir, group_choices)
             if not is_global:
                 raise ConfigError(
-                    f"experiment/{raw}.yaml must be '# @package _global_'"
+                    f"{norm}/{raw}.yaml must be '# @package _global_'"
                 )
             cfg = _deep_merge(cfg, preset)
-            cfg.setdefault("experiment", raw)
+            cfg.setdefault(norm, {})
+            if norm == "experiment":
+                cfg.setdefault("experiment_preset", raw)
             continue
 
         # group swap: the key names a config group directory

@@ -481,7 +481,14 @@ def build_optimizer(cfg: Dict) -> optax.GradientTransformation:
     elif algo["name"] == "sgd":
 
         def make(learning_rate):
-            return optax.sgd(learning_rate, momentum=algo["momentum"])
+            sgd = optax.sgd(learning_rate, momentum=algo["momentum"])
+            if algo.get("weight_decay"):
+                # torch-SGD semantics: decay added to the grad before the
+                # momentum update
+                return optax.chain(
+                    optax.add_decayed_weights(algo["weight_decay"]), sgd
+                )
+            return sgd
 
     else:
         raise ValueError(f"unknown optimizer {algo['name']}")
@@ -573,6 +580,19 @@ def run_train_eval(cfg: Dict) -> float:
         and cfg["trainer"].get("prng_impl", "rbg") == "rbg"
     ):
         jax.config.update("jax_default_prng_impl", "rbg")
+
+    if cfg.get("use_cometml"):
+        # the reference builds a CometLogger from env keys
+        # (main.py:371-380); comet isn't installed here, and silently
+        # ignoring the flag would fake remote tracking
+        try:
+            import comet_ml  # noqa: F401
+        except ImportError as e:
+            raise RuntimeError(
+                "use_cometml=true but the comet_ml package is not available"
+                " in this environment; install it or use the TensorBoard"
+                " path (trainer.log_dir=...)"
+            ) from e
 
     logger = MetricsLogger(
         log_dir=cfg["trainer"].get("log_dir"),
@@ -679,24 +699,20 @@ def _init_state(cfg, task, example_batch) -> TrainState:
 
 
 def _scale_injected_lr(state: TrainState, new_lr: float) -> TrainState:
-    """Update the learning rate inside an optax.inject_hyperparams state
-    (reduce-on-plateau support)."""
+    """Functionally rebuild the opt state with a new learning rate inside
+    the optax.inject_hyperparams state (reduce-on-plateau support).
 
-    def visit(node):
-        if hasattr(node, "hyperparams") and "learning_rate" in node.hyperparams:
-            node.hyperparams["learning_rate"] = jnp.asarray(
-                new_lr, dtype=jnp.float32
-            )
-        return node
+    Uses optax.tree_utils.tree_set, which walks the whole opt-state pytree —
+    so the injected state is found at any nesting depth (e.g. inside the
+    freeze-schedule wrapper). Never mutates in place: InjectHyperparamsState
+    is a NamedTuple and in-place edits of its fields silently don't stick.
+    """
+    import optax.tree_utils as otu
 
-    # inject_hyperparams state may be nested inside the freeze wrapper tuple
-    opt_state = state.opt_state
-    if isinstance(opt_state, tuple):
-        for part in opt_state:
-            visit(part)
-    else:
-        visit(opt_state)
-    return state
+    new_opt_state = otu.tree_set(
+        state.opt_state, learning_rate=jnp.asarray(new_lr, jnp.float32)
+    )
+    return state.replace(opt_state=new_opt_state)
 
 
 def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
@@ -707,21 +723,12 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
     limit_train = trainer.get("limit_train_batches")
     acc = trainer.get("accumulate_grad_batches", 1)
 
-    if loss_fn_kind == "speaker":
-        step_fn = make_train_step(task, mesh, accumulate_steps=acc)
-    else:
-
-        def raw_step(state, batch):
-            new_rng, srng = jax.random.split(state.rng)
-            (loss, aux), grads = jax.value_and_grad(
-                task.loss_fn, has_aux=True
-            )(state.params, state.model_state, batch, srng, True)
-            new_state = state.apply_gradients(
-                grads, aux["model_state"]
-            ).replace(rng=new_rng)
-            return new_state, aux["metrics"]
-
-        step_fn = jax.jit(raw_step, donate_argnums=(0,))
+    # one pjit step builder for all five task families (speaker/paired/
+    # speech share the loss_fn(params, model_state, batch, rng, train)
+    # contract): explicit shardings + on-device grad accumulation everywhere,
+    # matching the reference's module-agnostic accumulate_grad_batches
+    # (trainer.yaml:33)
+    step_fn = make_train_step(task, mesh, accumulate_steps=acc)
 
     ckpt = CheckpointManager(
         trainer["checkpoint_dir"],
@@ -752,9 +759,10 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
     step = int(state.step)
     expected_shapes = None
     first_batch_dumped = False
+    epoch = 0
     while step < max_steps:
         epoch_batches = 0
-        for batch in train_iter_fn():
+        for batch in train_iter_fn(epoch):
             db = strip_host_fields(batch)
             if not first_batch_dumped and trainer.get("dump_first_batch"):
                 from .debug import dump_first_batch
@@ -771,13 +779,19 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
                 # design; each bucket shape compiles once)
                 if expected_shapes is None:
                     expected_shapes = db["features"].shape
+                    if expected_shapes[0] % acc:
+                        raise ValueError(
+                            f"batch size {expected_shapes[0]} not divisible"
+                            f" by accumulate_grad_batches={acc}"
+                        )
                 if db["features"].shape[0] != expected_shapes[0]:
                     continue
             else:
-                # pad token-budget batches to a device-divisible row count;
+                # pad token-budget batches to a row count divisible by both
+                # the data-axis size and the accumulation microbatch count;
                 # padded rows have empty targets and are excluded from the
                 # CTC mean
-                n_data = mesh.shape["data"]
+                n_data = mesh.shape["data"] * acc
                 pad = (-db["features"].shape[0]) % n_data
                 if pad:
                     db = {
@@ -820,6 +834,7 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
             break
         if epoch_batches == 0:
             raise RuntimeError("train loader yielded no usable batches")
+        epoch += 1
     return state, ckpt
 
 
@@ -888,8 +903,29 @@ def _run_speaker(cfg, dm, task: SpeakerTask, mesh, logger) -> float:
         res = evaluator.evaluate(usable, samples)
         return {"val_eer": res["eer"], "val_mdc": res["mdc"]}
 
-    def train_iter():
-        return dm.train_batches(prefetch_depth=dl.get("prefetch_depth", 4))
+    def make_batch_processor(epoch):
+        """Triplet modes need >= 2 samples per present speaker so every
+        anchor has an in-batch positive (the reference routes triplet losses
+        through TripletSpeakerBatchProcessor, voxceleb.py:888-1062); all
+        other modes use uniform random batches."""
+        if task.mode not in ("triplet", "triplet_ce"):
+            return None
+        from ..data.batching import TripletBatchProcessor
+        from ..data.samples import collate_speaker_batch
+
+        return TripletBatchProcessor(
+            max_batch_size=dl["batch_size"],
+            max_queue_size=dl["queue_size"],
+            collate_fn=collate_speaker_batch,
+            seed=cfg["seed"] + epoch * 9973,
+        )
+
+    def train_iter(epoch=0):
+        return dm.train_batches(
+            batch_processor=make_batch_processor(epoch),
+            prefetch_depth=dl.get("prefetch_depth", 4),
+            epoch=epoch,
+        )
 
     state, ckpt = _train_loop(
         cfg, task, state, mesh, logger, train_iter, validate
@@ -957,7 +993,7 @@ def _run_paired(cfg, dm, task: PairedSpeakerTask, mesh, logger) -> float:
     ratio = cfg.get("pos_neg_training_batch_ratio", 0.5)
     k = cfg["data"]["shards"]["sequential_same_speaker_samples"]
 
-    def train_iter():
+    def train_iter(epoch=0):
         proc = PairedBatchProcessor(
             batch_size=dl["batch_size"],
             max_queue_size=cfg["data"]["dataloader"]["queue_size"],
@@ -965,9 +1001,9 @@ def _run_paired(cfg, dm, task: PairedSpeakerTask, mesh, logger) -> float:
             sequential_same_speaker_samples=k,
             collate_fn=collate_paired_batch,
             pos_neg_training_batch_ratio=ratio,
-            seed=cfg["seed"],
+            seed=cfg["seed"] + epoch * 9973,
         )
-        return proc(dm._pipeline("train", train=True))
+        return proc(dm._pipeline("train", train=True, epoch=epoch))
 
     example = strip_host_fields(next(iter(train_iter())))
     state = _init_state(cfg, task, example)
@@ -1066,8 +1102,8 @@ def _run_speech(cfg, dm, task: SpeechTask, mesh, logger) -> float:
         )
         return metrics
 
-    def train_iter():
-        return dm.train_batches()
+    def train_iter(epoch=0):
+        return dm.train_batches(epoch=epoch)
 
     state, ckpt = _train_loop(
         cfg, task, state, mesh, logger, train_iter, validate,

@@ -1,8 +1,8 @@
 """Metrics logging and process observability.
 
-Replaces the reference's logger/callback stack (SURVEY §5.5): TensorBoard
-writer (CometML's role — the reference defaults to TensorBoard when comet is
-off, `main.py:371-380`), torchmetrics-style windowed train-metric averaging
+Replaces the reference's logger/callback stack (SURVEY §5.5): a torch-free
+TensorBoard event writer (tb_writer.py; the reference defaults to TensorBoard
+when comet is off, `main.py:371-380`), torchmetrics-style windowed averaging
 flushed every N steps (`speaker_recognition_module.py:70-74,296-320`), an LR
 monitor, and the RSS memory monitor (`callbacks/memory_monitor.py:22-79`,
 psutil-free: /proc/self/status).
@@ -44,12 +44,11 @@ class MetricsLogger:
         self._window: Dict[str, list] = defaultdict(list)
         self._writer = None
         if log_dir is not None:
-            try:
-                from torch.utils.tensorboard import SummaryWriter
+            # torch-free event writer (tb_writer.py): file logging must not
+            # silently degrade in a torch-less deployment
+            from .tb_writer import TensorBoardWriter
 
-                self._writer = SummaryWriter(str(log_dir))
-            except Exception:
-                self._writer = None
+            self._writer = TensorBoardWriter(log_dir)
         self._start = time.time()
 
     def log_step(self, step: int, metrics: Dict[str, float]) -> None:
