@@ -1,0 +1,138 @@
+"""Native FLAC decoder (native/flac.cpp) round-trip tests.
+
+FLAC is lossless, so decode(encode(x)) == x bit-exactly for ANY conformant
+encoder — the pure-Python encoder (utils/flac_encode.py) is steered through
+every subframe type / residual coding / channel mode to exercise each
+decode path. Behavioral parity target: the reference's torchaudio read of
+LibriSpeech .flac (src/data/modules/speech/librispeech.py:662-804).
+"""
+
+import numpy as np
+import pytest
+
+from w2v2_speaker_tpu.utils import flac as nflac
+from w2v2_speaker_tpu.utils.flac_encode import encode_flac
+
+pytestmark = pytest.mark.skipif(
+    not nflac.available(), reason="native FLAC lib not buildable"
+)
+
+
+def _speechy(n=20011, seed=0, amp=3000):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    x = amp * np.sin(t * 0.03) + rng.normal(0, amp / 4, n)
+    return np.clip(x, -32768, 32767).astype(np.int32)
+
+
+def _roundtrip(tmp_path, pcm, **kw):
+    p = tmp_path / "t.flac"
+    p.write_bytes(encode_flac(pcm, **kw))
+    got, sr = nflac.read_flac(p, dtype=np.int32)
+    assert sr == kw.get("sample_rate", 16000)
+    np.testing.assert_array_equal(got, pcm)
+    return p
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},  # mixed constant/fixed/LPC, default blocksize
+        {"force_subframe": "verbatim"},
+        {"force_subframe": "lpc", "lpc_order": 12},
+        {"lpc_order": 0},  # fixed predictors only
+        {"partition_order": 4},  # 16 rice partitions
+        {"blocksize": 512},  # many frames -> multi-byte UTF-8 frame numbers
+        {"use_wasted_bits": True},
+    ],
+)
+def test_roundtrip_mono16(tmp_path, kw):
+    x = _speechy()
+    if kw.get("use_wasted_bits"):
+        x = (x >> 2) << 2  # force 2 shared trailing-zero bits
+    _roundtrip(tmp_path, x, **kw)
+
+
+@pytest.mark.parametrize(
+    "mode", ["independent", "left_side", "right_side", "mid_side"]
+)
+def test_roundtrip_stereo_modes(tmp_path, mode):
+    x = _speechy()
+    st = np.stack([x, np.roll(x, 3) + 17], 1).astype(np.int32)
+    p = tmp_path / "t.flac"
+    p.write_bytes(encode_flac(st, stereo_mode=mode))
+    got, _ = nflac.read_flac(p, dtype=np.int32)
+    np.testing.assert_array_equal(got, st)
+
+
+def test_roundtrip_24bit(tmp_path):
+    x = (_speechy().astype(np.int64) * 200).astype(np.int32)  # ~23 bits
+    _roundtrip(tmp_path, x, bps=24)
+
+
+def test_roundtrip_8bit(tmp_path):
+    x = np.clip(_speechy() // 256, -128, 127).astype(np.int32)
+    _roundtrip(tmp_path, x, bps=8)
+
+
+def test_escape_partitions(tmp_path):
+    # white noise at near-full-scale makes rice params blow past 14 -> the
+    # encoder falls back to escape-coded raw partitions
+    rng = np.random.default_rng(1)
+    x = rng.integers(-32768, 32768, 8192).astype(np.int32)
+    _roundtrip(tmp_path, x, force_subframe="verbatim")
+    _roundtrip(tmp_path, x)  # fixed-predictor residuals, huge variance
+
+
+def test_constant_blocks(tmp_path):
+    x = np.full(9000, -1234, np.int32)
+    _roundtrip(tmp_path, x)
+
+
+def test_float_scaling_matches_torchaudio_semantics(tmp_path):
+    x = _speechy()
+    p = tmp_path / "t.flac"
+    p.write_bytes(encode_flac(x))
+    f, sr = nflac.read_flac(p)
+    assert f.dtype == np.float32
+    np.testing.assert_allclose(f, x.astype(np.float32) / 32768.0, rtol=0, atol=0)
+
+
+def test_probe(tmp_path):
+    x = _speechy(4096)
+    data = encode_flac(x, sample_rate=16000)
+    total, ch, sr, bps = nflac.probe(data)
+    assert (total, ch, sr, bps) == (4096, 1, 16000, 16)
+
+
+def test_bad_magic_rejected():
+    with pytest.raises(ValueError, match="bad magic"):
+        nflac.probe(b"RIFFxxxxWAVE" + b"\0" * 64)
+
+
+def test_read_audio_dispatches_flac(tmp_path):
+    from w2v2_speaker_tpu.data.io import load_raw_audio, read_audio
+
+    x = _speechy()
+    p = tmp_path / "utt.flac"
+    p.write_bytes(encode_flac(x))
+    w, sr = read_audio(p)
+    assert sr == 16000 and w.dtype == np.float32
+    # the 16 kHz guard path also accepts flac now
+    w2 = load_raw_audio(p)
+    np.testing.assert_array_equal(w, w2)
+
+
+def test_librispeech_discovery_includes_flac(tmp_path):
+    from w2v2_speaker_tpu.data.librispeech import _discover_transcribed_wavs
+
+    d = tmp_path / "19" / "198"
+    d.mkdir(parents=True)
+    (d / "19-198.trans.txt").write_text(
+        "19-198-0000 HELLO WORLD\n19-198-0001 SECOND UTTERANCE\n"
+    )
+    (d / "19-198-0000.flac").write_bytes(encode_flac(_speechy(5000)))
+    (d / "19-198-0001.flac").write_bytes(encode_flac(_speechy(6000, seed=2)))
+    entries = _discover_transcribed_wavs(tmp_path)
+    assert [e["key"] for e in entries] == ["19-198-0000", "19-198-0001"]
+    assert entries[0]["transcription"] == "HELLO WORLD"

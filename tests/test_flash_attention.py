@@ -105,3 +105,64 @@ def test_bias_to_key_mask_conversion():
     np.testing.assert_allclose(
         np.asarray(got)[1, :40], np.asarray(want)[1, :40], rtol=1e-5, atol=1e-6
     )
+
+
+def test_kernel_backward_matches_reference_no_mask():
+    q, k, v = _qkv(b=1, t=256, h=2, d=32, seed=6)
+    g = np.random.default_rng(7).normal(size=q.shape).astype(np.float32)
+    g = jnp.asarray(g)
+
+    def loss_kernel(q, k, v):
+        return (flash_attention_kernel(q, k, v, interpret=True) * g).sum()
+
+    def loss_ref(q, k, v):
+        return (reference_attention(q, k, v) * g).sum()
+
+    g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_kernel_backward_matches_reference_with_padding():
+    q, k, v = _qkv(b=2, t=300, h=2, d=32, seed=8)
+    lengths = jnp.asarray([300, 137])
+    mask = jnp.arange(300)[None, :] < lengths[:, None]
+    # upstream grads masked at padded rows (as downstream pooling does)
+    g = np.random.default_rng(9).normal(size=q.shape).astype(np.float32)
+    g = jnp.asarray(g) * mask[:, :, None, None]
+
+    def loss_kernel(q, k, v):
+        return (flash_attention_kernel(q, k, v, mask, interpret=True) * g).sum()
+
+    def loss_ref(q, k, v):
+        out = reference_attention(q, k, v, mask)
+        return (out * g).sum()
+
+    g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_kernel_fully_padded_q_blocks_skipped():
+    """Rows beyond an utterance's length produce zeros (skipped blocks) and
+    valid rows are unaffected by extreme padding."""
+    q, k, v = _qkv(b=2, t=512, h=2, d=32, seed=10)
+    lengths = jnp.asarray([512, 64])
+    mask = jnp.arange(512)[None, :] < lengths[:, None]
+    got = flash_attention_kernel(
+        q, k, v, mask, block_q=128, block_k=128, interpret=True
+    )
+    want = reference_attention(q, k, v, mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[1, :64], np.asarray(want)[1, :64], rtol=2e-4, atol=2e-5
+    )
+    # q blocks fully beyond the valid length were skipped -> exact zeros
+    assert np.all(np.asarray(got)[1, 128:] == 0.0)

@@ -159,3 +159,82 @@ def test_triplet_recipes_end_to_end(corpus, tmp_path, preset):
         )
     )
     assert 0.0 <= objective <= 1.0
+
+
+def test_centering_uses_in_training_embedding_buffer(corpus, tmp_path, monkeypatch):
+    """With evaluator centering on, validation must fit from the rolling
+    in-training embedding buffer, NOT by re-running the train pipeline
+    (reference keeps a deque, speaker_recognition_module.py:79,132-146)."""
+    import run as run_cli
+    from w2v2_speaker_tpu.eval import evaluator as ev_mod
+
+    fit_calls = []
+    orig_fit = ev_mod.CosineDistanceEvaluator.fit_parameters
+
+    def spy_fit(self, embs, labels):
+        fit_calls.append(len(embs))
+        return orig_fit(self, embs, labels)
+
+    monkeypatch.setattr(
+        ev_mod.CosineDistanceEvaluator, "fit_parameters", spy_fit
+    )
+
+    objective = run_cli.main(
+        _base_overrides(
+            corpus,
+            tmp_path,
+            [
+                "+experiment=speaker_dummy",
+                "evaluator.center_before_scoring=true",
+                "evaluator.max_num_training_samples=16",
+                "trainer.max_steps=6",
+                "trainer.val_check_interval=3",
+                f"trainer.checkpoint_dir={tmp_path / 'ckpt_ctr'}",
+            ],
+        )
+    )
+    assert 0.0 <= objective <= 1.0
+    # two validations + the final test fit all happened, each with the
+    # buffer capped at max_num_training_samples
+    assert fit_calls and all(0 < n <= 16 for n in fit_calls)
+
+
+def test_train_step_returns_embeddings_flag():
+    """make_train_step(return_embeddings=True) surfaces a [B, D] float32
+    '_embedding' entry, with and without grad accumulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from w2v2_speaker_tpu.models.dummy import DummyModel
+    from w2v2_speaker_tpu.train.speaker_task import SpeakerTask
+    from w2v2_speaker_tpu.train.state import TrainState
+    from w2v2_speaker_tpu.train.steps import make_train_step
+    import optax
+
+    model = DummyModel(num_speakers=4)
+    rng = np.random.default_rng(0)
+    batch = {
+        "features": jnp.asarray(
+            rng.normal(size=(4, 400)).astype(np.float32)
+        ),
+        "mask": jnp.ones((4, 400), bool),
+        "labels": jnp.array([0, 1, 2, 3]),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch["features"],
+                        batch["mask"])["params"]
+    task = SpeakerTask(model=model, mode="ce")
+    for acc in (1, 2):
+        # fresh state per run: the step donates its input state buffers
+        state = TrainState.create(
+            apply_fn=model.apply,
+            params=jax.tree.map(jnp.copy, params),
+            tx=optax.sgd(1e-3),
+            rng=jax.random.PRNGKey(1),
+        )
+        step = make_train_step(
+            task, mesh=None, accumulate_steps=acc, return_embeddings=True
+        )
+        _, metrics = step(state, batch)
+        emb = metrics.pop("_embedding")
+        assert emb.shape == (4, 2) and emb.dtype == jnp.float32
+        assert all(v.ndim == 0 for v in metrics.values())

@@ -1,0 +1,239 @@
+"""Training-step component profile on the real TPU chip.
+
+Times the speaker_wav2vec2_ce training configuration (BASE + mean pooling +
+CE, batch 66 x 3 s crops, bf16 compute — README.md:166-172 recipe shapes)
+and its components, using the fori_loop/differential methodology from
+CLAUDE.md. Supports LARGE via --size large.
+
+  python tools/bench_train.py                # full step + components
+  python tools/bench_train.py --size large --batch 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="base", choices=["base", "large"])
+    ap.add_argument("--batch", type=int, default=66)
+    ap.add_argument("--seconds", type=float, default=3.0)
+    ap.add_argument("--iters", type=int, default=24)
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--layerdrop", type=float, default=0.05)
+    ap.add_argument(
+        "--only", nargs="*", default=None,
+        help="subset of {step,fwd,conv,conv_bwd,encoder,opt}",
+    )
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from w2v2_speaker_tpu.models.wav2vec2 import (
+        BASE_CONFIG,
+        LARGE_CONFIG,
+        ConvFeatureEncoder,
+    )
+    from w2v2_speaker_tpu.models.wav2vec2_speaker import (
+        Wav2Vec2SpeakerConfig,
+        Wav2Vec2SpeakerModel,
+    )
+    from w2v2_speaker_tpu.train.speaker_task import SpeakerTask
+    from w2v2_speaker_tpu.train.state import TrainState
+    from w2v2_speaker_tpu.train.steps import make_train_step
+    import dataclasses
+
+    assert jax.devices()[0].platform == "tpu", "run on the TPU host"
+
+    w2v2 = dataclasses.replace(
+        BASE_CONFIG if args.size == "base" else LARGE_CONFIG,
+        dtype="bfloat16",
+        layerdrop=args.layerdrop,
+        use_remat=args.remat,
+    )
+    model = Wav2Vec2SpeakerModel(
+        cfg=Wav2Vec2SpeakerConfig(w2v2=w2v2, stat_pooling_type="mean"),
+        num_speakers=5994,
+    )
+    task = SpeakerTask(model=model, mode="ce")
+
+    b = args.batch
+    n = int(16000 * args.seconds)
+    rng = np.random.default_rng(0)
+
+    def fresh_batch():
+        return {
+            "features": jnp.asarray(
+                rng.normal(0, 0.1, size=(b, n)).astype(np.float32)
+            ),
+            "mask": jnp.ones((b, n), bool),
+            "labels": jnp.asarray(rng.integers(0, 5994, b)),
+        }
+
+    batch0 = fresh_batch()
+    init = jax.jit(model.init)
+    variables = init(
+        {k: jax.random.PRNGKey(i) for i, k in enumerate(
+            ("params", "dropout", "pooling", "masking", "layerdrop")
+        )},
+        batch0["features"][:2],
+        batch0["mask"][:2],
+    )
+    params = variables["params"]
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"{args.size}: {n_params/1e6:.1f}M params, batch {b} x {args.seconds}s")
+
+    tx = optax.adam(1e-4)
+    state = TrainState.create(
+        apply_fn=model.apply, params=params, tx=tx,
+        rng=jax.random.PRNGKey(0),
+    )
+
+    def timed_loop(fn, label, iters, *xs):
+        """fn(carry_batch) -> scalar-ish; chained via fori_loop."""
+        @jax.jit
+        def run(m, feats, mask, labels):
+            def body(i, carry):
+                f, s = carry
+                out = fn(f, mask, labels)
+                bump = (1.0 + 1e-20 * out).astype(f.dtype)
+                return (f * bump, s + out)
+
+            _, s = jax.lax.fori_loop(
+                0, m, body, (feats, jnp.float32(0))
+            )
+            return s
+
+        bt = fresh_batch()
+        float(run(1, bt["features"], bt["mask"], bt["labels"]))  # compile
+
+        def once(m):
+            bt = fresh_batch()
+            float(bt["features"].astype(jnp.float32).sum())  # force upload
+            t0 = time.perf_counter()
+            float(run(m, bt["features"], bt["mask"], bt["labels"]))
+            return time.perf_counter() - t0
+
+        t1 = min(once(iters) for _ in range(3))
+        t2 = min(once(2 * iters) for _ in range(3))
+        ms = (t2 - t1) / iters * 1e3
+        print(f"  {label:28s} {ms:9.2f} ms")
+        return ms
+
+    want = set(args.only or ["step", "fwd", "conv", "conv_bwd", "opt"])
+
+    # full training step (state donated => rebuild per timing? instead keep
+    # state captured and only thread features through the loop; optimizer
+    # update included via explicit fold)
+    if "step" in want:
+        step_fn = make_train_step(task, mesh=None)
+
+        @jax.jit
+        def full_step(m, st, feats, mask, labels):
+            def body(i, carry):
+                st_, f, s = carry
+                bump = (1.0 + 1e-20 * s).astype(f.dtype)
+                st2, metrics = step_fn(
+                    st_, {"features": f * bump, "mask": mask, "labels": labels}
+                )
+                return (st2, f, metrics["loss"].astype(jnp.float32))
+
+            st, _, s = jax.lax.fori_loop(0, m, body, (st, feats, 0.0))
+            return s
+
+        bt = fresh_batch()
+        float(full_step(1, state, bt["features"], bt["mask"], bt["labels"]))
+
+        def once(m):
+            bt = fresh_batch()
+            float(bt["features"].astype(jnp.float32).sum())
+            t0 = time.perf_counter()
+            float(full_step(m, state, bt["features"], bt["mask"], bt["labels"]))
+            return time.perf_counter() - t0
+
+        t1 = min(once(args.iters) for _ in range(3))
+        t2 = min(once(2 * args.iters) for _ in range(3))
+        ms = (t2 - t1) / args.iters * 1e3
+        print(f"  {'train step (fwd+bwd+adam)':28s} {ms:9.2f} ms"
+              f"  ({b / ms * 1e3:.0f} utt/s)")
+
+    rngs = {k: jax.random.PRNGKey(i) for i, k in enumerate(
+        ("dropout", "pooling", "masking", "layerdrop"))}
+
+    if "fwd" in want:
+        def fwd(f, mask, labels):
+            loss, _ = task.loss_fn(
+                state.params, {}, {"features": f, "mask": mask,
+                                   "labels": labels},
+                jax.random.PRNGKey(0), train=True,
+            )
+            return loss.astype(jnp.float32)
+
+        timed_loop(fwd, "forward only (train mode)", args.iters)
+
+    if "conv" in want or "conv_bwd" in want:
+        enc_model = ConvFeatureEncoder(w2v2)
+        conv_params = jax.jit(enc_model.init)(
+            jax.random.PRNGKey(0), batch0["features"][:2],
+            batch0["mask"][:2]
+        )["params"]
+
+        def conv_fwd(f, mask, labels):
+            feats = enc_model.apply({"params": conv_params}, f, mask)
+            return feats.astype(jnp.float32).sum()
+
+        if "conv" in want:
+            timed_loop(conv_fwd, "conv feature encoder fwd", args.iters)
+
+        if "conv_bwd" in want:
+            def conv_step(f, mask, labels):
+                def loss(p):
+                    feats = enc_model.apply({"params": p}, f, mask)
+                    return feats.astype(jnp.float32).sum()
+
+                g = jax.grad(loss)(conv_params)
+                return sum(
+                    x.astype(jnp.float32).sum() for x in jax.tree.leaves(g)
+                )
+
+            timed_loop(conv_step, "conv feature encoder fwd+bwd", args.iters)
+
+    if "opt" in want:
+        grads = jax.tree.map(jnp.ones_like, params)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def opt_loop(m, p, os):
+            def body(i, carry):
+                p_, os_ = carry
+                up, os2 = tx.update(grads, os_, p_)
+                return (optax.apply_updates(p_, up), os2)
+
+            p, os = jax.lax.fori_loop(0, m, body, (p, os))
+            return sum(x.astype(jnp.float32).sum() for x in jax.tree.leaves(p))
+
+        float(opt_loop(1, params, opt_state))
+
+        def once(m):
+            t0 = time.perf_counter()
+            float(opt_loop(m, params, opt_state))
+            return time.perf_counter() - t0
+
+        # identical args are memoized by the transport; vary m only
+        t1 = min(once(args.iters), once(args.iters + 1))
+        t2 = min(once(2 * args.iters), once(2 * args.iters + 1))
+        print(f"  {'adam update alone':28s} {(t2 - t1) / args.iters * 1e3:9.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -155,7 +155,7 @@ class VoxCelebDataModule:
     # ------------------------------------------------------------ prepare
 
     def prepare_data(self) -> None:
-        """One-time: split -> shard -> validate -> generate val pairs."""
+        """One-time: extract -> split -> shard -> validate -> val pairs."""
         cfg = self.cfg
         out = cfg.shards_dir
         if (out / "prepared.json").exists():
@@ -163,6 +163,15 @@ class VoxCelebDataModule:
         out.mkdir(parents=True, exist_ok=True)
 
         keys = _discover_wavs(cfg.data_dir)
+        if not keys and cfg.data_dir.exists():
+            # raw distribution archives: concatenate parts + extract in
+            # place, then resolve the nested wav/ root (reference runs
+            # extract->split->shard from the zips, voxceleb.py:184-311)
+            from .extract import effective_audio_root, extract_archives
+
+            extract_archives(cfg.data_dir)
+            cfg.data_dir = effective_audio_root(cfg.data_dir)
+            keys = _discover_wavs(cfg.data_dir)
         if cfg.limit_samples:
             keys = keys[: cfg.limit_samples]
         if not keys:

@@ -1,8 +1,10 @@
-"""Host-side audio I/O (no torchaudio/sox — stdlib `wave` + numpy).
+"""Host-side audio I/O (no torchaudio/sox — stdlib `wave` + numpy, plus
+the native FLAC decoder in native/flac.cpp for LibriSpeech).
 
 Parity with the reference's `src/data/util.py:19-76`: 16 kHz assertion on
-load, NaN/inf guards, float32 [-1, 1] waveforms. WAV PCM16/PCM32/float32 are
-supported; raw `.npy` float32 payloads are the shard-internal format.
+load, NaN/inf guards, float32 [-1, 1] waveforms. WAV PCM16/PCM32/float32 and
+FLAC are supported; raw `.npy` float32 payloads are the shard-internal
+format.
 """
 
 from __future__ import annotations
@@ -14,7 +16,9 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["read_wav", "write_wav", "load_raw_audio", "guard_finite"]
+__all__ = [
+    "read_wav", "read_audio", "write_wav", "load_raw_audio", "guard_finite",
+]
 
 
 def read_wav(path: pathlib.Path | str) -> Tuple[np.ndarray, int]:
@@ -38,6 +42,25 @@ def read_wav(path: pathlib.Path | str) -> Tuple[np.ndarray, int]:
     if channels > 1:
         data = data.reshape(-1, channels).mean(axis=1)
     return data, sr
+
+
+def read_audio(path: pathlib.Path | str) -> Tuple[np.ndarray, int]:
+    """Read WAV or FLAC -> (float32 mono waveform in [-1, 1], sample_rate).
+
+    FLAC decode uses the native decoder (utils/flac.py), replacing the
+    reference's torchaudio.load of LibriSpeech .flac
+    (librispeech.py:662-804); multi-channel audio is downmixed like
+    `read_wav`.
+    """
+    p = pathlib.Path(path)
+    if p.suffix.lower() == ".flac":
+        from ..utils.flac import read_flac
+
+        data, sr = read_flac(p, dtype=np.float32)
+        if data.ndim > 1:
+            data = data.mean(axis=1)
+        return data.astype(np.float32), sr
+    return read_wav(p)
 
 
 def write_wav(
@@ -64,7 +87,7 @@ def load_raw_audio(
 ) -> np.ndarray:
     """Load audio with the reference's 16 kHz + finiteness guards
     (`data/util.py:19-34`, 60-76)."""
-    wav, sr = read_wav(path)
+    wav, sr = read_audio(path)
     if sr != expected_sample_rate:
         raise ValueError(
             f"{path}: sample rate {sr} != expected {expected_sample_rate}"

@@ -13,9 +13,10 @@ Re-implements the reference's LibriSpeech pipeline
   (librispeech.py:225-236), token-budget dynamic batching for training
   (`DynamicTokenBudgetBatcher`).
 
-Audio must be 16 kHz WAV (the reference reads flac through torchaudio/sox;
-here the offline prep converts with ffmpeg, same as VoxCeleb's m4a->wav
-step).
+Audio may be 16 kHz WAV or raw LibriSpeech FLAC: .flac decodes through the
+native decoder (native/flac.cpp via utils/flac.py), replacing the
+reference's torchaudio/sox read path — prepare_data now runs directly on
+the extracted corpus, no offline conversion step needed.
 """
 
 from __future__ import annotations
@@ -52,7 +53,10 @@ def _discover_transcribed_wavs(root: pathlib.Path) -> List[Dict]:
                 continue
             utt_id, text = line.split(" ", 1)
             lookup[utt_id] = text.strip()
-        for wav in sorted(trans.parent.glob("*.wav")):
+        audio = sorted(trans.parent.glob("*.wav")) + sorted(
+            trans.parent.glob("*.flac")
+        )
+        for wav in audio:
             utt_id = wav.stem
             if utt_id in lookup:
                 entries.append(

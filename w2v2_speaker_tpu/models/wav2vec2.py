@@ -79,7 +79,11 @@ class Wav2Vec2Config:
     # compute
     dtype: str = "float32"
     remat: bool = False  # rematerialize encoder layers (memory for FLOPs)
-    attention_impl: str = "xla"  # "xla" | "flash"
+    # "flash": Pallas kernel when T >= 1024 on TPU (2x XLA at T=6016,
+    # block-skips suffix padding; real flash backward). Auto-falls back to
+    # the XLA path for short sequences, non-TPU platforms, and training
+    # with attention_dropout > 0 (the kernel has no prob-dropout).
+    attention_impl: str = "flash"  # "flash" | "xla"
 
 
 BASE_CONFIG = Wav2Vec2Config()
@@ -254,15 +258,29 @@ class PosConvEmbedding(nn.Module):
         # torch layout [out, in/groups, k] -> flax NWC kernel [k, in/groups, out]
         kernel = jnp.transpose(w, (2, 1, 0)).astype(dtype)
 
+        # NOTE: decomposed into per-group DENSE convs instead of one
+        # feature_group_count=groups conv. XLA's SPMD partitioner computes
+        # grouped-conv KERNEL gradients wrong (exactly x accumulate_steps)
+        # when the same grouped conv's grad is accumulated more than once
+        # per program over a batch-sharded input (minimal repro in
+        # tests/test_grad_accumulation.py::test_grouped_conv_spmd_grad).
+        # Identical math and FLOPs; group g owns output channels
+        # [g*h/G, (g+1)*h/G) of the torch grouped-conv layout.
         pad = k // 2
-        out = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel,
-            window_strides=(1,),
-            padding=[(pad, pad)],
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            feature_group_count=groups,
-        )
+        hg = h // groups
+        xg = x.astype(dtype)
+        outs = []
+        for g in range(groups):
+            outs.append(
+                jax.lax.conv_general_dilated(
+                    xg[..., g * hg : (g + 1) * hg],
+                    kernel[:, :, g * hg : (g + 1) * hg],
+                    window_strides=(1,),
+                    padding=[(pad, pad)],
+                    dimension_numbers=("NWC", "WIO", "NWC"),
+                )
+            )
+        out = jnp.concatenate(outs, axis=-1)
         out = out + bias.astype(dtype)
         if k % 2 == 0:  # SamePadLayer: drop the trailing frame
             out = out[:, :-1, :]
@@ -305,18 +323,17 @@ class SelfAttention(nn.Module):
             for part in jnp.split(qkv, 3, axis=-1)
         )
 
-        use_flash = cfg.attention_impl == "flash"
+        # flash kernel wherever legal: the Pallas kernel has no
+        # attention-prob dropout, so training with attention_dropout > 0
+        # falls back to the XLA path (fwd AND bwd run as flash otherwise —
+        # the kernel has a real flash backward)
+        use_flash = cfg.attention_impl == "flash" and not (
+            train and cfg.attention_dropout > 0
+        )
         if use_flash:
             from ..ops.flash_attention import flash_attention
 
-            out = flash_attention(
-                q,
-                k,
-                v,
-                bias=attention_bias,
-                dropout_rate=cfg.attention_dropout if train else 0.0,
-                rng=self.make_rng("dropout") if train and cfg.attention_dropout > 0 else None,
-            )
+            out = flash_attention(q, k, v, bias=attention_bias)
         else:
             rng = (
                 self.make_rng("dropout")

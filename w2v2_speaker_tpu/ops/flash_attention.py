@@ -1,26 +1,36 @@
-"""Flash attention (online-softmax) Pallas TPU kernel.
+"""Flash attention (online-softmax) Pallas TPU kernels.
 
-Purpose-built for the wav2vec2 encoder's eval path: full VoxCeleb utterances
-are up to ~2 min => ~6k frames, where materializing [heads, T, T] attention
-probabilities is the HBM bottleneck. Canonical Mosaic structure: a
-(batch*heads, q_blocks, k_blocks) grid with the k dimension innermost and
-sequential ("arbitrary"), running max / sum / accumulator carried in VMEM
-scratch across k steps — pallas double-buffers the K/V block DMAs
-automatically. Matmuls run at input precision (bf16 on TPU) with f32
-accumulation; softmax bookkeeping is f32.
+Purpose-built for the wav2vec2 encoder: full VoxCeleb utterances are up to
+~2 min => ~6k frames, where materializing [heads, T, T] attention
+probabilities is the HBM bottleneck (reference sidesteps the problem with
+batch_size=1 eval, speaker_recognition_module.py:468-469; we batch + mask).
 
-Backward: flash's main win here is inference memory; training sequences are
-3 s crops (~150 frames) where XLA attention is already optimal. So the
-custom_vjp recomputes standard attention for the gradient — identical math,
-O(T^2) memory only when actually training through it.
+Design (v2, tuned for v5e):
+- exp2 domain: q is pre-scaled by d^-0.5 * log2(e) once, so the kernel's
+  softmax bookkeeping uses exp2 (the VPU-native transcendental) and the
+  per-block `s * scale` multiply disappears.
+- suffix-padding lengths instead of a dense mask: the encoder only ever
+  right-pads, so validity is one int32 per row. Lengths ride the scalar-
+  prefetch channel, which lets the kernel (a) skip fully-padded K blocks
+  entirely — the index map clamps the block index so not even the DMA is
+  issued — and (b) run interior blocks through an unmasked fast path; only
+  the single boundary block pays the iota/where cost.
+- grid (batch*heads, q_blocks, k_blocks), k innermost and sequential
+  ("arbitrary"); running max/sum/accumulator live in VMEM scratch across k
+  steps; Pallas double-buffers the K/V block DMAs automatically. Matmuls
+  run at input precision (bf16 on TPU) with f32 accumulation.
+- real flash backward: the forward saves the log2-domain logsumexp, and two
+  kernels (dq over q blocks; dk/dv over k blocks) recompute probabilities
+  blockwise — O(T) memory end to end, same block-skip logic.
 
-The public entry `flash_attention` uses the kernel on TPU and the reference
-XLA path elsewhere (CPU tests run the kernel in interpret mode).
+The public entry `flash_attention` uses the kernels on TPU and reference
+XLA math elsewhere (CPU tests run the kernels in interpret mode).
 """
 
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -32,6 +42,12 @@ __all__ = ["flash_attention", "flash_attention_kernel", "reference_attention"]
 
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 _LANES = 128
+_LOG2E = math.log2(math.e)
+# tuned on v5e (PERF.md flash section): bq=1024/bk=2048 wins from T>=1024;
+# below _MIN_T the grid degenerates to one block and XLA attention is faster
+_BLOCK_Q = 1024
+_BLOCK_K = 2048
+_MIN_T = 1024
 
 
 def reference_attention(
@@ -48,20 +64,43 @@ def reference_attention(
     return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v)
 
 
-def _flash_kernel(
-    q_ref,  # [block_q, d]
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pick_blocks(t_pad: int, block_q: int, block_k: int) -> tuple[int, int, int]:
+    block_q = min(block_q, t_pad)
+    block_k = min(block_k, t_pad)
+    t_pad = _round_up(t_pad, math.lcm(block_q, block_k))
+    return t_pad, block_q, block_k
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    len_ref,  # [B] int32 (scalar prefetch)
+    q_ref,  # [block_q, d]  (pre-scaled by d^-0.5 * log2(e))
     k_ref,  # [block_k, d]
     v_ref,  # [block_k, d]
-    mask_ref,  # [1, block_k] int32
     o_ref,  # [block_q, d]
-    m_scr,  # [block_q, _LANES] f32
-    l_scr,  # [block_q, _LANES] f32
-    acc_scr,  # [block_q, d] f32
-    *,
-    sm_scale: float,
+    *rest,  # [lse_ref [block_q, 1] f32 if save_lse], m/l/acc scratch
+    heads: int,
+    block_k: int,
+    save_lse: bool,
 ):
+    if save_lse:
+        lse_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        (m_scr, l_scr, acc_scr), lse_ref = rest, None
+    bh = pl.program_id(0)
     ki = pl.program_id(2)
     n_k = pl.num_programs(2)
+    seq_len = len_ref[bh // heads]
+    kstart = ki * block_k
+    qstart = pl.program_id(1) * q_ref.shape[0]
 
     @pl.when(ki == 0)
     def _init():
@@ -69,81 +108,115 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[:]
-    k = k_ref[:]
-    s = jax.lax.dot_general(
-        q,
-        k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * sm_scale  # [block_q, block_k] f32
+    def update(masked: bool):
+        s = jax.lax.dot_general(
+            q_ref[:],
+            k_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_q, block_k] f32, already in log2 domain
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < seq_len - kstart, s, _NEG_INF)
 
-    mask = mask_ref[0, :] != 0  # [block_k]
-    s = jnp.where(mask[None, :], s, _NEG_INF)
+        m_prev = m_scr[:, 0:1]  # [block_q, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp2(s - m_new)  # [block_q, block_k] f32
+        alpha = jnp.exp2(m_prev - m_new)  # [block_q, 1]
+        l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype),
+            v_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
-    m_prev = m_scr[:, 0:1]  # [block_q, 1]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
+    # fully-padded q blocks do no work at all (bucketed eval pads heavily);
+    # interior k blocks take the unmasked fast path; only the single k
+    # boundary block pays the iota/where cost
+    @pl.when((qstart < seq_len) & (kstart + block_k <= seq_len))
+    def _full():
+        update(masked=False)
 
-    p = jnp.exp(s - m_new)  # [block_q, block_k] f32
-    alpha = jnp.exp(m_prev - m_new)  # [block_q, 1]
-
-    l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p.astype(v_ref.dtype),
-        v_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    @pl.when(
+        (qstart < seq_len)
+        & (kstart < seq_len)
+        & (kstart + block_k > seq_len)
     )
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    def _boundary():
+        update(masked=True)
 
+    # unconditional: the last k block may itself have been skipped
     @pl.when(ki == n_k - 1)
     def _finalize():
         l = l_scr[:, 0:1]
-        out = jnp.where(l > 0.0, acc_scr[:] / jnp.maximum(l, 1e-37), 0.0)
-        o_ref[:] = out.astype(o_ref.dtype)
+        o_ref[:] = jnp.where(
+            l > 0.0, acc_scr[:] / jnp.maximum(l, 1e-37), 0.0
+        ).astype(o_ref.dtype)
+        if save_lse:
+            # guard skipped q blocks (l == 0): lse of 0.0 keeps the
+            # backward's p recompute finite; those rows are masked there
+            lse_ref[:] = jnp.where(
+                l > 0.0,
+                m_scr[:, 0:1] + jnp.log2(jnp.maximum(l, 1e-37)),
+                0.0,
+            ).astype(lse_ref.dtype)
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
-def flash_attention_kernel(
-    q: jax.Array,  # [B, T, H, D]
-    k: jax.Array,
+def _fwd_call(
+    qs: jax.Array,  # [BH, T, d] pre-scaled
+    k: jax.Array,  # [BH, T, d]
     v: jax.Array,
-    key_mask: Optional[jax.Array] = None,  # [B, T]
-    block_q: int = 512,
-    block_k: int = 512,
-    interpret: bool = False,
-) -> jax.Array:
-    """Forward-only Pallas flash attention (padding-masked)."""
-    b, t, h, d = q.shape
-    block_q = min(block_q, _round_up(t, 128))
-    block_k = min(block_k, _round_up(t, 128))
-    t_pad = _round_up(t, max(block_q, block_k))
-    sm_scale = d**-0.5
+    lengths: jax.Array,  # [B] int32
+    heads: int,
+    block_q: int,
+    block_k: int,
+    interpret: bool,
+    save_lse: bool,
+) -> tuple[jax.Array, Optional[jax.Array]]:
+    bhn, t_pad, d = qs.shape
+    grid = (bhn, t_pad // block_q, t_pad // block_k)
 
-    if key_mask is None:
-        key_mask = jnp.ones((b, t), dtype=bool)
-    if t_pad != t:
-        pad = [(0, 0), (0, t_pad - t), (0, 0), (0, 0)]
-        q = jnp.pad(q, pad)
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
-        key_mask = jnp.pad(key_mask, [(0, 0), (0, t_pad - t)])
+    def kv_index_map(bh, qi, ki, lens):
+        # clamp skipped blocks to the last valid one: no fresh DMA is issued
+        # for fully-padded K/V blocks
+        last = jnp.maximum(lens[bh // heads] - 1, 0) // block_k
+        return (bh, jnp.minimum(ki, last), 0)
 
-    # [B, T, H, D] -> [B*H, T, D]
-    def to_bh(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * h, t_pad, d)
-
-    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
-    mask_i32 = key_mask.astype(jnp.int32)[:, None, :]  # [B, 1, T]
-
-    grid = (b * h, t_pad // block_q, t_pad // block_k)
-    kernel = functools.partial(_flash_kernel, sm_scale=sm_scale)
-
+    kernel = functools.partial(
+        _fwd_kernel, heads=heads, block_k=block_k, save_lse=save_lse
+    )
+    out_specs = [
+        pl.BlockSpec((None, block_q, d), lambda bh, qi, ki, lens: (bh, qi, 0)),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((bhn, t_pad, d), qs.dtype)]
+    if save_lse:
+        # q rows on sublanes, unit lane dim: broadcast-ready in the backward
+        out_specs.append(
+            pl.BlockSpec(
+                (None, block_q, 1), lambda bh, qi, ki, lens: (bh, qi, 0)
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((bhn, t_pad, 1), jnp.float32)
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda bh, qi, ki, lens: (bh, qi, 0)),
+            pl.BlockSpec((None, block_k, d), kv_index_map),
+            pl.BlockSpec((None, block_k, d), kv_index_map),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )
     params = {}
     try:
         params["compiler_params"] = pltpu.CompilerParams(
@@ -154,54 +227,383 @@ def flash_attention_kernel(
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((None, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
-            pl.BlockSpec((None, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
-            pl.BlockSpec((None, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
-            pl.BlockSpec(
-                (None, 1, block_k), lambda bh, qi, ki: (bh // h, 0, ki)
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (None, block_q, d), lambda bh, qi, ki: (bh, qi, 0)
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
+        out_shape=out_shape,
+        grid_spec=grid_spec,
         interpret=interpret,
         **params,
-    )(qb, kb, vb, mask_i32)
-
-    out = out.reshape(b, h, t_pad, d).transpose(0, 2, 1, 3)
-    return out[:, :t]
+    )(lengths, qs, k, v)
+    return (out[0], out[1]) if save_lse else (out[0], None)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _flash_attention(q, k, v, key_mask, interpret):
-    return flash_attention_kernel(q, k, v, key_mask, interpret=interpret)
+# ---------------------------------------------------------------------------
+# backward kernels
+# ---------------------------------------------------------------------------
+# Notation: z = (q.k) * scale are the logits; p = softmax(z). With the
+# forward's log2-domain prescale qs = q * scale * log2(e) and saved
+# lse = log2(sum exp2(qs.k)), probabilities recompute as p = exp2(qs.k - lse)
+# blockwise. dz = p * (dp - D) with dp = dO.V^T and D_i = sum_j p_ij dp_ij
+# = rowsum(dO * O). Then dq = dz @ k * scale (emitted in qs units and
+# rescaled outside) and dk = dz^T @ qs / log2(e), dv = p^T @ dO.
 
 
-def _fwd(q, k, v, key_mask, interpret):
-    return flash_attention_kernel(
-        q, k, v, key_mask, interpret=interpret
-    ), (q, k, v, key_mask)
+def _bwd_dq_kernel(
+    len_ref,
+    qs_ref,  # [block_q, d]
+    k_ref,  # [block_k, d]
+    v_ref,  # [block_k, d]
+    do_ref,  # [block_q, d]
+    lse_ref,  # [block_q, 1]
+    delta_ref,  # [block_q, 1]
+    dq_ref,  # [block_q, d] out
+    acc_scr,  # [block_q, d] f32
+    *,
+    heads: int,
+    block_k: int,
+    block_q: int,
+):
+    bh = pl.program_id(0)
+    ki = pl.program_id(2)
+    n_k = pl.num_programs(2)
+    seq_len = len_ref[bh // heads]
+    kstart = ki * block_k
+    qstart = pl.program_id(1) * block_q
 
+    @pl.when(ki == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
 
-def _bwd(interpret, res, g):
-    q, k, v, key_mask = res
-    # gradient via XLA recompute (training uses short sequences)
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: reference_attention(q_, k_, v_, key_mask), q, k, v
+    def update(masked: bool):
+        s = jax.lax.dot_general(
+            qs_ref[:],
+            k_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < seq_len - kstart, s, _NEG_INF)
+        p = jnp.exp2(s - lse_ref[:])  # [bq, bk] f32
+        dp = jax.lax.dot_general(
+            do_ref[:],
+            v_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dz = p * (dp - delta_ref[:])
+        acc_scr[:] += jax.lax.dot_general(
+            dz.astype(k_ref.dtype),
+            k_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when((qstart < seq_len) & (kstart + block_k <= seq_len))
+    def _full():
+        update(masked=False)
+
+    @pl.when(
+        (qstart < seq_len)
+        & (kstart < seq_len)
+        & (kstart + block_k > seq_len)
     )
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    def _boundary():
+        update(masked=True)
+
+    @pl.when(ki == n_k - 1)
+    def _finalize():
+        # zero grads for padded query rows (upstream dO is already masked by
+        # downstream pooling, but be exact regardless)
+        row = qstart + jax.lax.broadcasted_iota(
+            jnp.int32, (acc_scr.shape[0], 1), 0
+        )
+        dq_ref[:] = jnp.where(row < seq_len, acc_scr[:], 0.0).astype(
+            dq_ref.dtype
+        )
 
 
-_flash_attention.defvjp(_fwd, _bwd)
+def _bwd_dkv_kernel(
+    len_ref,
+    qs_ref,  # [block_q, d]
+    k_ref,  # [block_k, d]
+    v_ref,  # [block_k, d]
+    do_ref,  # [block_q, d]
+    lse_ref,  # [block_q, 1]
+    delta_ref,  # [block_q, 1]
+    dk_ref,  # [block_k, d] out
+    dv_ref,  # [block_k, d] out
+    dk_scr,  # [block_k, d] f32
+    dv_scr,  # [block_k, d] f32
+    *,
+    heads: int,
+    block_k: int,
+    block_q: int,
+):
+    bh = pl.program_id(0)
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+    n_q = pl.num_programs(2)
+    seq_len = len_ref[bh // heads]
+    kstart = ki * block_k
+    qstart = qi * block_q
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    def update(masked: bool):
+        s = jax.lax.dot_general(
+            qs_ref[:],
+            k_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < seq_len - kstart, s, _NEG_INF)
+        # zero contributions from padded query rows
+        rowq = qstart + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        p = jnp.where(rowq < seq_len, jnp.exp2(s - lse_ref[:]), 0.0)
+        dp = jax.lax.dot_general(
+            do_ref[:],
+            v_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dz = p * (dp - delta_ref[:])
+        dv_scr[:] += jax.lax.dot_general(
+            p.astype(do_ref.dtype),
+            do_ref[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_scr[:] += jax.lax.dot_general(
+            dz.astype(qs_ref.dtype),
+            qs_ref[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # skip q blocks entirely beyond the valid length; mask only the k
+    # boundary block (k cols beyond seq_len get zero grad)
+    @pl.when((qstart < seq_len) & (kstart + block_k <= seq_len))
+    def _full():
+        update(masked=False)
+
+    @pl.when(
+        (qstart < seq_len)
+        & (kstart < seq_len)
+        & (kstart + block_k > seq_len)
+    )
+    def _boundary():
+        update(masked=True)
+
+    @pl.when(qi == n_q - 1)
+    def _finalize():
+        dk_ref[:] = (dk_scr[:] / _LOG2E).astype(dk_ref.dtype)
+        dv_ref[:] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd_call(
+    qs: jax.Array,  # [BH, T, d] pre-scaled
+    k: jax.Array,
+    v: jax.Array,
+    do: jax.Array,  # [BH, T, d]
+    lse: jax.Array,  # [BH, T, 1] f32
+    delta: jax.Array,  # [BH, T, 1] f32
+    lengths: jax.Array,  # [B] int32
+    heads: int,
+    block_q: int,
+    block_k: int,
+    interpret: bool,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    bhn, t_pad, d = qs.shape
+    n_q, n_k = t_pad // block_q, t_pad // block_k
+
+    params = {}
+    try:
+        params["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        )
+    except TypeError:
+        params = {}
+
+    def q_map(bh, qi, ki, lens):
+        return (bh, qi, 0)
+
+    def q1_map(bh, qi, ki, lens):
+        return (bh, qi, 0)
+
+    def kv_map(bh, qi, ki, lens):
+        last = jnp.maximum(lens[bh // heads] - 1, 0) // block_k
+        return (bh, jnp.minimum(ki, last), 0)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, heads=heads, block_k=block_k, block_q=block_q
+        ),
+        out_shape=jax.ShapeDtypeStruct((bhn, t_pad, d), qs.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bhn, n_q, n_k),
+            in_specs=[
+                pl.BlockSpec((None, block_q, d), q_map),
+                pl.BlockSpec((None, block_k, d), kv_map),
+                pl.BlockSpec((None, block_k, d), kv_map),
+                pl.BlockSpec((None, block_q, d), q_map),
+                pl.BlockSpec((None, block_q, 1), q1_map),
+                pl.BlockSpec((None, block_q, 1), q1_map),
+            ],
+            out_specs=pl.BlockSpec((None, block_q, d), q_map),
+            scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        ),
+        interpret=interpret,
+        **params,
+    )(lengths, qs, k, v, do, lse, delta)
+
+    # dk/dv: grid over k blocks; q innermost. q-side blocks beyond the valid
+    # length are both skipped in-kernel and DMA-clamped here.
+    def qd_map(bh, ki, qi, lens):
+        last = jnp.maximum(lens[bh // heads] - 1, 0) // block_q
+        return (bh, jnp.minimum(qi, last), 0)
+
+    def qd1_map(bh, ki, qi, lens):
+        last = jnp.maximum(lens[bh // heads] - 1, 0) // block_q
+        return (bh, jnp.minimum(qi, last), 0)
+
+    def k_map(bh, ki, qi, lens):
+        return (bh, ki, 0)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, heads=heads, block_k=block_k, block_q=block_q
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bhn, t_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bhn, t_pad, d), v.dtype),
+        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bhn, n_k, n_q),
+            in_specs=[
+                pl.BlockSpec((None, block_q, d), qd_map),
+                pl.BlockSpec((None, block_k, d), k_map),
+                pl.BlockSpec((None, block_k, d), k_map),
+                pl.BlockSpec((None, block_q, d), qd_map),
+                pl.BlockSpec((None, block_q, 1), qd1_map),
+                pl.BlockSpec((None, block_q, 1), qd1_map),
+            ],
+            out_specs=[
+                pl.BlockSpec((None, block_k, d), k_map),
+                pl.BlockSpec((None, block_k, d), k_map),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, d), jnp.float32),
+                pltpu.VMEM((block_k, d), jnp.float32),
+            ],
+        ),
+        interpret=interpret,
+        **params,
+    )(lengths, qs, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# layout plumbing + custom_vjp
+# ---------------------------------------------------------------------------
+
+
+def _prep(q, k, v, lengths, block_q, block_k):
+    """[B,T,H,D] -> padded, pre-scaled [B*H,Tp,D] + layout metadata."""
+    b, t, h, d = q.shape
+    t_pad, block_q, block_k = _pick_blocks(_round_up(t, _LANES), block_q, block_k)
+    scale = d**-0.5
+    qs = q * jnp.asarray(scale * _LOG2E, q.dtype)
+    if lengths is None:
+        lengths = jnp.full((b,), t, jnp.int32)
+    if t_pad != t:
+        pad = [(0, 0), (0, t_pad - t), (0, 0), (0, 0)]
+        qs, k, v = jnp.pad(qs, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, t_pad, d)
+
+    return (
+        to_bh(qs),
+        to_bh(k),
+        to_bh(v),
+        jnp.minimum(lengths.astype(jnp.int32), t),
+        (b, t, h, d, t_pad, block_q, block_k),
+    )
+
+
+def _from_bh(x, b, t, h, d, t_pad):
+    return x.reshape(b, h, t_pad, d).transpose(0, 2, 1, 3)[:, :t]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_attention(q, k, v, lengths, block_q, block_k, interpret):
+    # primal (inference) path: no logsumexp output at all
+    qs, kb, vb, lens, meta = _prep(q, k, v, lengths, block_q, block_k)
+    b, t, h, d, t_pad, bq, bk = meta
+    o, _ = _fwd_call(qs, kb, vb, lens, h, bq, bk, interpret, save_lse=False)
+    return _from_bh(o, b, t, h, d, t_pad)
+
+
+def _flash_fwd(q, k, v, lengths, block_q, block_k, interpret):
+    qs, kb, vb, lens, meta = _prep(q, k, v, lengths, block_q, block_k)
+    b, t, h, d, t_pad, bq, bk = meta
+    o, lse = _fwd_call(qs, kb, vb, lens, h, bq, bk, interpret, save_lse=True)
+    return _from_bh(o, b, t, h, d, t_pad), (qs, kb, vb, lens, o, lse, meta)
+
+
+def _flash_bwd(block_q, block_k, interpret, res, g):
+    qs, kb, vb, lens, o, lse, meta = res
+    b, t, h, d, t_pad, bq, bk = meta
+    if t_pad != t:
+        g = jnp.pad(g, [(0, 0), (0, t_pad - t), (0, 0), (0, 0)])
+    do = g.transpose(0, 2, 1, 3).reshape(b * h, t_pad, d)
+    # D_i = rowsum(dO * O): tiny elementwise+reduce, leave it to XLA
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    )
+    dqs, dk, dv = _bwd_call(
+        qs, kb, vb, do, lse, delta, lens, h, bq, bk, interpret
+    )
+    # dq: the kernel accumulates dz @ k; dz/dq brings one factor of scale
+    # (the log2(e) prescale belongs to s, not to z = logits)
+    scale = d**-0.5
+    dq = _from_bh(dqs, b, t, h, d, t_pad) * jnp.asarray(scale, dqs.dtype)
+    return (
+        dq,
+        _from_bh(dk, b, t, h, d, t_pad),
+        _from_bh(dv, b, t, h, d, t_pad),
+        None,
+    )
+
+
+_flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention_kernel(
+    q: jax.Array,  # [B, T, H, D]
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: Optional[jax.Array] = None,  # [B, T] suffix-contiguous validity
+    block_q: int = _BLOCK_Q,
+    block_k: int = _BLOCK_K,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable Pallas flash attention (suffix-padding masked).
+
+    `key_mask` must be suffix-contiguous (True prefix, False padding tail) —
+    the encoder's padding masks always are; validity is reduced to one
+    length per row so fully-padded blocks are skipped without even a DMA.
+    """
+    lengths = None if key_mask is None else jnp.sum(
+        key_mask.astype(jnp.int32), axis=1
+    )
+    return _flash_attention(q, k, v, lengths, block_q, block_k, interpret)
 
 
 def flash_attention(
@@ -213,7 +615,7 @@ def flash_attention(
     dropout_rate: float = 0.0,
     rng: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Public entry: flash kernel on TPU, reference math elsewhere.
+    """Public entry: flash kernels on TPU, reference math elsewhere.
 
     `bias` accepts the additive [B, 1, 1, T] padding bias the encoder builds
     (converted to a key mask); attention dropout is not supported in the
@@ -228,6 +630,8 @@ def flash_attention(
         key_mask = bias[:, 0, 0, :] >= -1e30
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    if not on_tpu:
+    if not on_tpu or q.shape[1] < _MIN_T:
+        # short sequences (3 s training crops, short eval buckets): XLA's
+        # one-shot attention beats the kernel (measured crossover ~T=1024)
         return reference_attention(q, k, v, key_mask)
-    return _flash_attention(q, k, v, key_mask, False)
+    return flash_attention_kernel(q, k, v, key_mask)

@@ -12,7 +12,8 @@ that the jitted steps shard over.
 from __future__ import annotations
 
 import pathlib
-from typing import Dict, Iterable, List, Optional, Tuple
+from collections import deque
+from typing import Deque, Dict, Iterable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -716,7 +717,7 @@ def _scale_injected_lr(state: TrainState, new_lr: float) -> TrainState:
 
 
 def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
-                loss_fn_kind="speaker"):
+                loss_fn_kind="speaker", on_step=None):
     trainer = cfg["trainer"]
     max_steps = trainer["max_steps"]
     val_every = trainer.get("val_check_interval") or max_steps
@@ -728,7 +729,10 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
     # contract): explicit shardings + on-device grad accumulation everywhere,
     # matching the reference's module-agnostic accumulate_grad_batches
     # (trainer.yaml:33)
-    step_fn = make_train_step(task, mesh, accumulate_steps=acc)
+    step_fn = make_train_step(
+        task, mesh, accumulate_steps=acc,
+        return_embeddings=on_step is not None,
+    )
 
     ckpt = CheckpointManager(
         trainer["checkpoint_dir"],
@@ -804,6 +808,8 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
                 jax.profiler.start_trace(str(prof["trace_dir"]))
             state, metrics = step_fn(state, shard_batch(db, mesh))
             step += 1
+            if on_step is not None:
+                on_step(db, metrics.pop("_embedding", None))
             if prof_active and step == prof_start + prof_len:
                 jax.tree.map(
                     lambda x: x.block_until_ready(), state.params
@@ -848,6 +854,29 @@ def _run_speaker(cfg, dm, task: SpeakerTask, mesh, logger) -> float:
 
     val_pairs = dm.val_evaluation_pairs()
     limit_val = cfg["trainer"].get("limit_val_batches")
+
+    # rolling buffer of training embeddings for evaluator centering: filled
+    # for free from the train step's own forward instead of re-running the
+    # train pipeline at each validation (reference keeps an in-training
+    # deque, speaker_recognition_module.py:79,132-146)
+    max_tr = int(evaluator.max_num_training_samples or 0)
+    emb_buffer: Deque = deque(maxlen=max_tr) if max_tr else None
+
+    def on_step(db, emb):
+        if emb_buffer is None or emb is None:
+            return
+        e = np.asarray(emb)
+        labels = np.asarray(db["labels"]).reshape(-1)
+        for j in range(min(len(e), len(labels))):
+            emb_buffer.append((e[j], int(labels[j])))
+
+    def fit_evaluator_from_train(state):
+        if emb_buffer:
+            embs, labels = zip(*emb_buffer)
+            evaluator.fit_parameters(list(embs), list(labels))
+        else:
+            tr_embs, tr_labels = collect_train_embeddings(state, max_tr)
+            evaluator.fit_parameters(tr_embs, tr_labels)
 
     def collect_train_embeddings(state, max_samples):
         embs, labels = [], []
@@ -895,11 +924,8 @@ def _run_speaker(cfg, dm, task: SpeakerTask, mesh, logger) -> float:
         if not usable:
             return {"val_eer": 1.0}
         evaluator.reset_parameters()
-        if evaluator.max_num_training_samples:
-            tr_embs, tr_labels = collect_train_embeddings(
-                state, evaluator.max_num_training_samples
-            )
-            evaluator.fit_parameters(tr_embs, tr_labels)
+        if max_tr:
+            fit_evaluator_from_train(state)
         res = evaluator.evaluate(usable, samples)
         return {"val_eer": res["eer"], "val_mdc": res["mdc"]}
 
@@ -928,7 +954,8 @@ def _run_speaker(cfg, dm, task: SpeakerTask, mesh, logger) -> float:
         )
 
     state, ckpt = _train_loop(
-        cfg, task, state, mesh, logger, train_iter, validate
+        cfg, task, state, mesh, logger, train_iter, validate,
+        on_step=on_step if max_tr else None,
     )
 
     # ---- test on best checkpoint (full utterances)
@@ -976,10 +1003,10 @@ def _run_speaker(cfg, dm, task: SpeakerTask, mesh, logger) -> float:
             num_devices=n_data,
         )
     evaluator.reset_parameters()
-    if evaluator.max_num_training_samples:
-        tr_embs, tr_labels = collect_train_embeddings(
-            state, evaluator.max_num_training_samples
-        )
+    if max_tr:
+        # test-time centering re-extracts with the restored best checkpoint
+        # (the rolling buffer holds last-params embeddings)
+        tr_embs, tr_labels = collect_train_embeddings(state, max_tr)
         evaluator.fit_parameters(tr_embs, tr_labels)
     res = evaluator.evaluate(test_pairs, samples)
     logger.log_eval(int(state.step), {f"test_{k}": v for k, v in res.items()},

@@ -30,6 +30,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     accumulate_steps: int = 1,
     infer_state_sharding: bool = False,
+    return_embeddings: bool = False,
 ) -> Callable:
     """Returns jitted step(state, batch) -> (state, metrics).
 
@@ -40,6 +41,12 @@ def make_train_step(
     With `infer_state_sharding` the state's existing per-leaf placements
     (e.g. tensor-parallel shardings from `parallel.tp.apply_tp_sharding`)
     are respected instead of forcing full replication.
+
+    With `return_embeddings` the metrics dict carries a ``_embedding``
+    [B, D] float32 entry (stop-gradient) so the runtime can keep a rolling
+    buffer of training embeddings for evaluator centering instead of
+    re-running the train pipeline at every validation (reference keeps an
+    in-training deque, speaker_recognition_module.py:79,132-146).
     """
 
     def loss_for_grad(params, model_state, batch, rng):
@@ -47,6 +54,14 @@ def make_train_step(
         return loss, aux
 
     grad_fn = jax.value_and_grad(loss_for_grad, has_aux=True)
+
+    def maybe_embedding(aux):
+        if not return_embeddings:
+            return None
+        emb = aux.get("out", {}).get("embedding")
+        if emb is None or emb.ndim != 2:  # no-pool modes: not centerable
+            return None
+        return jax.lax.stop_gradient(emb.astype(jnp.float32))
 
     def step(state: TrainState, batch: Dict[str, jax.Array]):
         new_rng, step_rng = jax.random.split(state.rng)
@@ -56,6 +71,9 @@ def make_train_step(
                 state.params, state.model_state, batch, step_rng
             )
             metrics = aux["metrics"]
+            emb = maybe_embedding(aux)
+            if emb is not None:
+                metrics = {**metrics, "_embedding": emb}
             new_model_state = aux["model_state"]
         else:
             micro = jax.tree.map(
@@ -74,18 +92,27 @@ def make_train_step(
                     state.params, model_state, mb, r
                 )
                 grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                ys = aux["metrics"]
+                emb = maybe_embedding(aux)
+                if emb is not None:
+                    ys = {**ys, "_embedding": emb}
                 return (
                     grads_acc,
                     aux["model_state"],
                     loss_acc + loss,
-                ), aux["metrics"]
+                ), ys
 
             zero_grads = jax.tree.map(jnp.zeros_like, state.params)
             (grads, new_model_state, loss_sum), all_metrics = jax.lax.scan(
                 body, (zero_grads, state.model_state, 0.0), (micro, rngs)
             )
             grads = jax.tree.map(lambda g: g / accumulate_steps, grads)
+            emb = all_metrics.pop("_embedding", None) if isinstance(
+                all_metrics, dict
+            ) else None
             metrics = jax.tree.map(lambda m: m.mean(), all_metrics)
+            if emb is not None:  # [acc, B/acc, D] -> [B, D]
+                metrics["_embedding"] = emb.reshape(-1, emb.shape[-1])
             loss = loss_sum / accumulate_steps
 
         new_state = state.apply_gradients(
