@@ -333,3 +333,48 @@ def test_augmenter_composition_semantics():
     # invalid config
     with pytest.raises(ValueError):
         augment.Augmenter([AddOne()], False, False, False)
+
+
+def test_collate_speaker_batch_strips_all_valid_mask():
+    # fixed-crop batches (no padding) omit the mask entirely so the jitted
+    # step skips every masked-statistics path; mask=None == all-valid
+    from w2v2_speaker_tpu.data.samples import SpeakerSample
+
+    same = [
+        SpeakerSample(key=f"s/{i}", wav=np.ones(800, np.float32),
+                      ground_truth=i % 3)
+        for i in range(4)
+    ]
+    b = collate_speaker_batch(same)
+    assert "mask" not in b
+
+    ragged = same[:3] + [
+        SpeakerSample(key="s/x", wav=np.ones(700, np.float32),
+                      ground_truth=0)
+    ]
+    b = collate_speaker_batch(ragged)
+    assert b["mask"].shape == (4, 800)
+    assert not b["mask"].all()
+    assert b["mask"][:3].all() and b["mask"][3, :700].all()
+    assert not b["mask"][3, 700:].any()
+
+
+def test_collate_paired_batch_strips_all_valid_masks():
+    from w2v2_speaker_tpu.data.samples import PairedSample
+
+    pairs = [
+        PairedSample(
+            primary_key="a", primary_wav=np.ones(800, np.float32),
+            secondary_key="b", secondary_wav=np.ones(600, np.float32),
+            ground_truth=1,
+        ),
+        PairedSample(
+            primary_key="c", primary_wav=np.ones(800, np.float32),
+            secondary_key="d", secondary_wav=np.ones(500, np.float32),
+            ground_truth=0,
+        ),
+    ]
+    b = collate_paired_batch(pairs)
+    assert "mask_a" not in b  # both primaries full length
+    assert b["mask_b"].shape == (2, 600)
+    assert not b["mask_b"][1, 500:].any()

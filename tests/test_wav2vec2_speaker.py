@@ -256,3 +256,31 @@ def test_ensemble_embeddings():
     )
     assert len(ensembles) == 2
     assert all(e.shape == (2, TINY_W2V2.hidden_size) for e in ensembles)
+
+
+def test_encoder_unroll_equivalence():
+    """encoder_unroll only changes codegen (lax.scan unroll), never math:
+    outputs and param trees are identical for unroll=1 vs full unroll."""
+    import dataclasses
+
+    from w2v2_speaker_tpu.models.wav2vec2 import Wav2Vec2Model
+
+    wavs = _wav_batch(0, bs=2)["features"]
+    cfg1 = dataclasses.replace(TINY_W2V2, encoder_unroll=1)
+    cfgN = dataclasses.replace(TINY_W2V2, encoder_unroll=99)
+    m1 = Wav2Vec2Model(cfg=cfg1)
+    mN = Wav2Vec2Model(cfg=cfgN)
+    v1 = m1.init(jax.random.PRNGKey(0), wavs)
+    vN = mN.init(jax.random.PRNGKey(0), wavs)
+    assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(
+        vN
+    )
+    for a, b in zip(jax.tree.leaves(v1), jax.tree.leaves(vN)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    o1, _ = m1.apply(v1, wavs)
+    oN, _ = mN.apply(v1, wavs)
+    # same math; XLA may reassociate fusions across the unrolled body, so
+    # bit-exactness is not guaranteed — but it must agree to fp32 noise
+    np.testing.assert_allclose(
+        np.asarray(o1), np.asarray(oN), atol=2e-5, rtol=1e-4
+    )

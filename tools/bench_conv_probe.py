@@ -1,0 +1,95 @@
+"""Probe: per-layer conv cost, XLA conv vs tap-sum matmul formulation.
+
+Layer shapes of the wav2vec2 BASE conv feature encoder at batch 66 x 3 s.
+fori_loop ladder methodology (CLAUDE.md).
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+B = 66
+LAYERS = [  # (T_in, C_in, C_out, k, s)
+    (48000, 1, 512, 10, 5),
+    (9599, 512, 512, 3, 2),
+    (4799, 512, 512, 3, 2),
+    (2399, 512, 512, 3, 2),
+    (1199, 512, 512, 3, 2),
+    (599, 512, 512, 2, 2),
+    (299, 512, 512, 2, 2),
+]
+
+rng = np.random.default_rng(0)
+
+
+def timed(run, *args, iters=32):
+    float(run(1, *args))
+
+    def once(m):
+        t0 = time.perf_counter()
+        float(run(m, *args))
+        return time.perf_counter() - t0
+
+    t1 = min(once(iters), once(iters + 1))
+    t2 = min(once(2 * iters), once(2 * iters + 1))
+    return (t2 - t1) / iters * 1e3
+
+
+def conv_ref(x, w, s):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(s,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+
+
+def conv_taps(x, w, s):
+    # y[:, t, :] = sum_k x[:, t*s + k, :] @ w[k]
+    k = w.shape[0]
+    t_out = (x.shape[1] - k) // s + 1
+    out = None
+    for i in range(k):
+        xi = jax.lax.slice_in_dim(x, i, i + (t_out - 1) * s + 1, stride=s,
+                                  axis=1)
+        y = jnp.einsum("btc,cd->btd", xi, w[i])
+        out = y if out is None else out + y
+    return out
+
+
+for (t_in, c_in, c_out, k, s) in LAYERS:
+    x = jnp.asarray(rng.normal(size=(B, t_in, c_in)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(k, c_in, c_out)).astype(np.float32) * 0.05
+                    ).astype(jnp.bfloat16)
+    gf = B * ((t_in - k) // s + 1) * k * c_in * c_out * 2 / 1e9
+
+    @jax.jit
+    def run_ref(m, x, w, s=s):
+        def body(i, carry):
+            x_, acc = carry
+            y = conv_ref(x_, w, s)
+            return (x_ * (1 + 1e-20 * y.astype(jnp.float32).sum()).astype(x_.dtype), acc + y.astype(jnp.float32).sum())
+
+        return jax.lax.fori_loop(0, m, body, (x, 0.0))[1]
+
+    @jax.jit
+    def run_tap(m, x, w, s=s):
+        def body(i, carry):
+            x_, acc = carry
+            y = conv_taps(x_, w, s)
+            return (x_ * (1 + 1e-20 * y.astype(jnp.float32).sum()).astype(x_.dtype), acc + y.astype(jnp.float32).sum())
+
+        return jax.lax.fori_loop(0, m, body, (x, 0.0))[1]
+
+    ms_ref = timed(run_ref, x, w)
+    ms_tap = timed(run_tap, x, w)
+    print(
+        f"T={t_in:6d} C={c_in:4d}->{c_out} k={k:2d} s={s}  "
+        f"{gf:6.1f} GF  conv {ms_ref:7.3f} ms ({gf/ms_ref:6.1f} TF/s)  "
+        f"taps {ms_tap:7.3f} ms ({gf/ms_tap:6.1f} TF/s)"
+    )

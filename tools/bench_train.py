@@ -15,6 +15,7 @@ import argparse
 import pathlib
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -33,9 +34,25 @@ def main():
         "--only", nargs="*", default=None,
         help="subset of {step,fwd,conv,conv_bwd,encoder,opt}",
     )
+    ap.add_argument(
+        "--no-mask", action="store_true",
+        help="run fwd/conv components with wav_mask=None (fixed-crop path)",
+    )
+    ap.add_argument(
+        "--dropout", type=float, default=0.1,
+        help="hidden dropout for the 'encoder' component A/B",
+    )
+    ap.add_argument(
+        "--unroll", type=int, default=99,
+        help="encoder scan unroll factor (99 = full, production default)",
+    )
     args = ap.parse_args()
 
     import jax
+
+    # mirror the trainer default (config/trainer/trainer.yaml: prng_impl=rbg;
+    # threefry dropout-mask generation is VPU-expensive on TPU)
+    jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
     import optax
 
@@ -59,7 +76,8 @@ def main():
         BASE_CONFIG if args.size == "base" else LARGE_CONFIG,
         dtype="bfloat16",
         layerdrop=args.layerdrop,
-        use_remat=args.remat,
+        remat=args.remat,
+        encoder_unroll=args.unroll,
     )
     model = Wav2Vec2SpeakerModel(
         cfg=Wav2Vec2SpeakerConfig(w2v2=w2v2, stat_pooling_type="mean"),
@@ -99,13 +117,17 @@ def main():
         rng=jax.random.PRNGKey(0),
     )
 
-    def timed_loop(fn, label, iters, *xs):
-        """fn(carry_batch) -> scalar-ish; chained via fori_loop."""
+    def timed_loop(fn, label, iters, p):
+        """fn(p, feats, mask, labels) -> scalar; chained via fori_loop.
+
+        ``p`` is threaded as a jit ARGUMENT (never a closure — the remote
+        compiler rejects programs with baked-in param trees, HTTP 413).
+        """
         @jax.jit
-        def run(m, feats, mask, labels):
+        def run(m, p, feats, mask, labels):
             def body(i, carry):
                 f, s = carry
-                out = fn(f, mask, labels)
+                out = fn(p, f, mask, labels)
                 bump = (1.0 + 1e-20 * out).astype(f.dtype)
                 return (f * bump, s + out)
 
@@ -115,13 +137,13 @@ def main():
             return s
 
         bt = fresh_batch()
-        float(run(1, bt["features"], bt["mask"], bt["labels"]))  # compile
+        float(run(1, p, bt["features"], bt["mask"], bt["labels"]))  # compile
 
         def once(m):
             bt = fresh_batch()
             float(bt["features"].astype(jnp.float32).sum())  # force upload
             t0 = time.perf_counter()
-            float(run(m, bt["features"], bt["mask"], bt["labels"]))
+            float(run(m, p, bt["features"], bt["mask"], bt["labels"]))
             return time.perf_counter() - t0
 
         t1 = min(once(iters) for _ in range(3))
@@ -143,9 +165,10 @@ def main():
             def body(i, carry):
                 st_, f, s = carry
                 bump = (1.0 + 1e-20 * s).astype(f.dtype)
-                st2, metrics = step_fn(
-                    st_, {"features": f * bump, "mask": mask, "labels": labels}
-                )
+                b_ = {"features": f * bump, "labels": labels}
+                if not args.no_mask:
+                    b_["mask"] = mask
+                st2, metrics = step_fn(st_, b_)
                 return (st2, f, metrics["loss"].astype(jnp.float32))
 
             st, _, s = jax.lax.fori_loop(0, m, body, (st, feats, 0.0))
@@ -170,16 +193,19 @@ def main():
     rngs = {k: jax.random.PRNGKey(i) for i, k in enumerate(
         ("dropout", "pooling", "masking", "layerdrop"))}
 
+    use_mask = not args.no_mask
+
     if "fwd" in want:
-        def fwd(f, mask, labels):
+        def fwd(p, f, mask, labels):
+            b_ = {"features": f, "labels": labels}
+            if use_mask:
+                b_["mask"] = mask
             loss, _ = task.loss_fn(
-                state.params, {}, {"features": f, "mask": mask,
-                                   "labels": labels},
-                jax.random.PRNGKey(0), train=True,
+                p, {}, b_, jax.random.PRNGKey(0), train=True,
             )
             return loss.astype(jnp.float32)
 
-        timed_loop(fwd, "forward only (train mode)", args.iters)
+        timed_loop(fwd, "forward only (train mode)", args.iters, state.params)
 
     if "conv" in want or "conv_bwd" in want:
         enc_model = ConvFeatureEncoder(w2v2)
@@ -188,45 +214,116 @@ def main():
             batch0["mask"][:2]
         )["params"]
 
-        def conv_fwd(f, mask, labels):
-            feats = enc_model.apply({"params": conv_params}, f, mask)
+        def conv_fwd(p, f, mask, labels):
+            feats = enc_model.apply(
+                {"params": p}, f, mask if use_mask else None
+            )
             return feats.astype(jnp.float32).sum()
 
         if "conv" in want:
-            timed_loop(conv_fwd, "conv feature encoder fwd", args.iters)
+            timed_loop(
+                conv_fwd, "conv feature encoder fwd", args.iters, conv_params
+            )
 
         if "conv_bwd" in want:
-            def conv_step(f, mask, labels):
+            def conv_step(cp, f, mask, labels):
                 def loss(p):
-                    feats = enc_model.apply({"params": p}, f, mask)
+                    feats = enc_model.apply(
+                        {"params": p}, f, mask if use_mask else None
+                    )
                     return feats.astype(jnp.float32).sum()
 
-                g = jax.grad(loss)(conv_params)
+                g = jax.grad(loss)(cp)
                 return sum(
                     x.astype(jnp.float32).sum() for x in jax.tree.leaves(g)
                 )
 
-            timed_loop(conv_step, "conv feature encoder fwd+bwd", args.iters)
+            timed_loop(
+                conv_step, "conv feature encoder fwd+bwd", args.iters,
+                conv_params,
+            )
+
+    if "encoder" in want:
+        # transformer encoder alone (pos conv + layers) on conv-rate frames;
+        # --layerdrop/--dropout flags A/B the stochastic ops' cost
+        from w2v2_speaker_tpu.models.wav2vec2 import (
+            Encoder,
+            feat_extract_output_lengths,
+        )
+
+        t_frames = int(feat_extract_output_lengths(n, w2v2))
+        enc_cfg = dataclasses.replace(
+            w2v2,
+            hidden_dropout=args.dropout,
+            activation_dropout=0.0,
+            attention_dropout=0.0,
+        )
+        enc = Encoder(enc_cfg)
+        h0 = jnp.asarray(
+            rng.normal(0, 1, size=(b, t_frames, w2v2.hidden_size)).astype(
+                np.float32
+            )
+        ).astype(jnp.bfloat16)
+        enc_rngs = {
+            "dropout": jax.random.PRNGKey(1),
+            "layerdrop": jax.random.PRNGKey(2),
+        }
+        enc_params = jax.jit(partial(enc.init, train=True))(
+            {"params": jax.random.PRNGKey(0), **enc_rngs}, h0[:2]
+        )["params"]
+
+        def enc_fwd(p, f, mask, labels):
+            y = enc.apply({"params": p}, f, train=True, rngs=enc_rngs)
+            return y.astype(jnp.float32).sum()
+
+        def enc_step(ep, f, mask, labels):
+            def loss(p):
+                y = enc.apply({"params": p}, f, train=True, rngs=enc_rngs)
+                return y.astype(jnp.float32).sum()
+
+            g = jax.grad(loss)(ep)
+            return sum(
+                x.astype(jnp.float32).sum() for x in jax.tree.leaves(g)
+            )
+
+        orig_fresh = fresh_batch
+
+        def fresh_enc_batch():
+            return {
+                "features": jnp.asarray(
+                    rng.normal(0, 1, size=(b, t_frames, w2v2.hidden_size))
+                    .astype(np.float32)
+                ).astype(jnp.bfloat16),
+                "mask": jnp.ones((b, t_frames), bool),
+                "labels": jnp.asarray(rng.integers(0, 5994, b)),
+            }
+
+        fresh_batch = fresh_enc_batch
+        timed_loop(enc_fwd, "transformer encoder fwd", args.iters, enc_params)
+        timed_loop(
+            enc_step, "transformer encoder fwd+bwd", args.iters, enc_params
+        )
+        fresh_batch = orig_fresh
 
     if "opt" in want:
         grads = jax.tree.map(jnp.ones_like, params)
         opt_state = tx.init(params)
 
         @jax.jit
-        def opt_loop(m, p, os):
+        def opt_loop(m, g, p, os):
             def body(i, carry):
                 p_, os_ = carry
-                up, os2 = tx.update(grads, os_, p_)
+                up, os2 = tx.update(g, os_, p_)
                 return (optax.apply_updates(p_, up), os2)
 
             p, os = jax.lax.fori_loop(0, m, body, (p, os))
             return sum(x.astype(jnp.float32).sum() for x in jax.tree.leaves(p))
 
-        float(opt_loop(1, params, opt_state))
+        float(opt_loop(1, grads, params, opt_state))
 
         def once(m):
             t0 = time.perf_counter()
-            float(opt_loop(m, params, opt_state))
+            float(opt_loop(m, grads, params, opt_state))
             return time.perf_counter() - t0
 
         # identical args are memoized by the transport; vary m only

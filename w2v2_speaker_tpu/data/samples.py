@@ -64,12 +64,19 @@ def collate_speaker_batch(
         bucket_boundaries=bucket_boundaries,
         dtype=np.float32,
     )
-    return {
+    out = {
         "features": batch.values,
-        "mask": batch.mask,
         "labels": np.asarray([s.ground_truth for s in samples], np.int32),
         "keys": [s.key for s in samples],
     }
+    # Fixed-crop batches (the speaker training path) have no padding; omit
+    # the all-valid mask so the models skip every masked-statistics /
+    # attention-bias path (mask=None means all frames valid — identical
+    # output, slightly less work per step). Variable-length batches keep
+    # the mask, preserving the padded==unpadded invariance contract.
+    if not batch.mask.all():
+        out["mask"] = batch.mask
+    return out
 
 
 def collate_paired_batch(
@@ -89,16 +96,20 @@ def collate_paired_batch(
         bucket_boundaries=bucket_boundaries,
         dtype=np.float32,
     )
-    return {
+    out = {
         "features_a": a.values,
-        "mask_a": a.mask,
         "features_b": b.values,
-        "mask_b": b.mask,
         "labels": np.asarray([s.ground_truth for s in samples], np.int32),
         "keys": [
             (s.primary_key, s.secondary_key) for s in samples
         ],
     }
+    # see collate_speaker_batch: all-valid masks are omitted (fixed crops)
+    if not a.mask.all():
+        out["mask_a"] = a.mask
+    if not b.mask.all():
+        out["mask_b"] = b.mask
+    return out
 
 
 def collate_speech_batch(

@@ -22,6 +22,11 @@ Design (v2, tuned for v5e):
 - real flash backward: the forward saves the log2-domain logsumexp, and two
   kernels (dq over q blocks; dk/dv over k blocks) recompute probabilities
   blockwise — O(T) memory end to end, same block-skip logic.
+- attention-prob dropout inside the kernel: a counter-hash (murmur3
+  finalizer over absolute (batch*head, q, k) coordinates) generates the
+  keep mask on the fly in the forward AND regenerates it bit-identically in
+  both backward kernels — no [T, T] mask in HBM, so training with
+  attention_dropout > 0 stays O(T) memory too.
 
 The public entry `flash_attention` uses the kernels on TPU and reference
 XLA math elsewhere (CPU tests run the kernels in interpret mode).
@@ -68,9 +73,63 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _dropout_keep(seed, bh, qstart, kstart, shape, rate: float):
+    """Deterministic per-element keep mask for attention-prob dropout.
+
+    Counter-based hash (murmur3 finalizer) over the ABSOLUTE (batch*head,
+    q row, k col) coordinates: the forward and both backward kernels
+    regenerate bit-identical masks from (seed, coordinates) alone — no
+    [T, T] mask ever exists in HBM. Pure jnp (no pltpu.prng_*), so it runs
+    identically on TPU hardware and in interpret mode on CPU, and is cheap
+    VPU work (~8 int ops/element).
+    """
+    qrow = qstart + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    kcol = kstart + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    x = (
+        seed.astype(jnp.uint32)
+        + bh.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+        + qrow.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+        + kcol.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D)
+    )
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x >= jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
+
+
+def _pow2_floor(x: int) -> int:
+    return 1 << (x.bit_length() - 1)
+
+
+def _compiler_params() -> dict:
+    """Shared pallas_call compiler params.
+
+    `vmem_limit_bytes` lifts the compiler's default 16 MiB scoped-vmem cap:
+    the backward kernels hold several [block_q, block_k] f32 temporaries
+    (s, p, dp, dz — and the dropout keep mask), which at 1024x2048 blocks
+    legitimately need ~20-30 MiB of the chip's 128 MiB VMEM.
+    """
+    try:
+        return {
+            "compiler_params": pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            )
+        }
+    except TypeError:  # older/newer API without the fields
+        return {}
+
+
 def _pick_blocks(t_pad: int, block_q: int, block_k: int) -> tuple[int, int, int]:
-    block_q = min(block_q, t_pad)
-    block_k = min(block_k, t_pad)
+    # Clamped blocks snap DOWN to powers of two: with pow2 blocks the
+    # lcm is just max(bq, bk), so t_pad never explodes. (A naive clamp to
+    # t_pad produced lcm(1024, 1152) = 9216 for T=1049 — 8x padding and a
+    # VMEM overflow in the dkv kernel.) Fully-padded blocks are skipped
+    # without a DMA, so the residual padding is near-free.
+    block_q = min(block_q, _pow2_floor(t_pad))
+    block_k = min(block_k, _pow2_floor(t_pad))
     t_pad = _round_up(t_pad, math.lcm(block_q, block_k))
     return t_pad, block_q, block_k
 
@@ -82,6 +141,7 @@ def _pick_blocks(t_pad: int, block_q: int, block_k: int) -> tuple[int, int, int]
 
 def _fwd_kernel(
     len_ref,  # [B] int32 (scalar prefetch)
+    seed_ref,  # [1] int32 (scalar prefetch; dropout seed)
     q_ref,  # [block_q, d]  (pre-scaled by d^-0.5 * log2(e))
     k_ref,  # [block_k, d]
     v_ref,  # [block_k, d]
@@ -90,6 +150,7 @@ def _fwd_kernel(
     heads: int,
     block_k: int,
     save_lse: bool,
+    dropout_rate: float,
 ):
     if save_lse:
         lse_ref, m_scr, l_scr, acc_scr = rest
@@ -123,9 +184,17 @@ def _fwd_kernel(
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp2(s - m_new)  # [block_q, block_k] f32
         alpha = jnp.exp2(m_prev - m_new)  # [block_q, 1]
+        # softmax normalizer uses the UNdropped probabilities; dropout
+        # applies to the post-softmax matrix (torch F.dropout semantics)
         l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = p
+        if dropout_rate > 0.0:
+            keep = _dropout_keep(
+                seed_ref[0], bh, qstart, kstart, p.shape, dropout_rate
+            )
+            pv = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype),
+            pv.astype(v_ref.dtype),
             v_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -170,43 +239,50 @@ def _fwd_call(
     k: jax.Array,  # [BH, T, d]
     v: jax.Array,
     lengths: jax.Array,  # [B] int32
+    seed: jax.Array,  # [1] int32
     heads: int,
     block_q: int,
     block_k: int,
     interpret: bool,
     save_lse: bool,
+    dropout_rate: float,
 ) -> tuple[jax.Array, Optional[jax.Array]]:
     bhn, t_pad, d = qs.shape
     grid = (bhn, t_pad // block_q, t_pad // block_k)
 
-    def kv_index_map(bh, qi, ki, lens):
+    def q_index_map(bh, qi, ki, lens, seed_):
+        return (bh, qi, 0)
+
+    def kv_index_map(bh, qi, ki, lens, seed_):
         # clamp skipped blocks to the last valid one: no fresh DMA is issued
         # for fully-padded K/V blocks
         last = jnp.maximum(lens[bh // heads] - 1, 0) // block_k
         return (bh, jnp.minimum(ki, last), 0)
 
     kernel = functools.partial(
-        _fwd_kernel, heads=heads, block_k=block_k, save_lse=save_lse
+        _fwd_kernel,
+        heads=heads,
+        block_k=block_k,
+        save_lse=save_lse,
+        dropout_rate=dropout_rate,
     )
     out_specs = [
-        pl.BlockSpec((None, block_q, d), lambda bh, qi, ki, lens: (bh, qi, 0)),
+        pl.BlockSpec((None, block_q, d), q_index_map),
     ]
     out_shape = [jax.ShapeDtypeStruct((bhn, t_pad, d), qs.dtype)]
     if save_lse:
         # q rows on sublanes, unit lane dim: broadcast-ready in the backward
         out_specs.append(
-            pl.BlockSpec(
-                (None, block_q, 1), lambda bh, qi, ki, lens: (bh, qi, 0)
-            )
+            pl.BlockSpec((None, block_q, 1), q_index_map)
         )
         out_shape.append(
             jax.ShapeDtypeStruct((bhn, t_pad, 1), jnp.float32)
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, block_q, d), lambda bh, qi, ki, lens: (bh, qi, 0)),
+            pl.BlockSpec((None, block_q, d), q_index_map),
             pl.BlockSpec((None, block_k, d), kv_index_map),
             pl.BlockSpec((None, block_k, d), kv_index_map),
         ],
@@ -217,13 +293,7 @@ def _fwd_call(
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
     )
-    params = {}
-    try:
-        params["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")
-        )
-    except TypeError:  # older/newer API without the field
-        params = {}
+    params = _compiler_params()
 
     out = pl.pallas_call(
         kernel,
@@ -231,7 +301,7 @@ def _fwd_call(
         grid_spec=grid_spec,
         interpret=interpret,
         **params,
-    )(lengths, qs, k, v)
+    )(lengths, seed, qs, k, v)
     return (out[0], out[1]) if save_lse else (out[0], None)
 
 
@@ -248,6 +318,7 @@ def _fwd_call(
 
 def _bwd_dq_kernel(
     len_ref,
+    seed_ref,
     qs_ref,  # [block_q, d]
     k_ref,  # [block_k, d]
     v_ref,  # [block_k, d]
@@ -260,6 +331,7 @@ def _bwd_dq_kernel(
     heads: int,
     block_k: int,
     block_q: int,
+    dropout_rate: float,
 ):
     bh = pl.program_id(0)
     ki = pl.program_id(2)
@@ -289,6 +361,13 @@ def _bwd_dq_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if dropout_rate > 0.0:
+            # d(probs) flows only through kept entries: the fwd's mask is
+            # regenerated bit-exactly from the same (seed, coords) hash
+            keep = _dropout_keep(
+                seed_ref[0], bh, qstart, kstart, dp.shape, dropout_rate
+            )
+            dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_rate)), 0.0)
         dz = p * (dp - delta_ref[:])
         acc_scr[:] += jax.lax.dot_general(
             dz.astype(k_ref.dtype),
@@ -323,6 +402,7 @@ def _bwd_dq_kernel(
 
 def _bwd_dkv_kernel(
     len_ref,
+    seed_ref,
     qs_ref,  # [block_q, d]
     k_ref,  # [block_k, d]
     v_ref,  # [block_k, d]
@@ -337,6 +417,7 @@ def _bwd_dkv_kernel(
     heads: int,
     block_k: int,
     block_q: int,
+    dropout_rate: float,
 ):
     bh = pl.program_id(0)
     ki = pl.program_id(1)
@@ -370,9 +451,19 @@ def _bwd_dkv_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        pv = p
+        if dropout_rate > 0.0:
+            keep = _dropout_keep(
+                seed_ref[0], bh, qstart, kstart, p.shape, dropout_rate
+            )
+            inv = 1.0 / (1.0 - dropout_rate)
+            # dv sums the DROPPED probabilities (o = dropout(p) @ v);
+            # dk flows through dp only where entries were kept
+            pv = jnp.where(keep, p * inv, 0.0)
+            dp = jnp.where(keep, dp * inv, 0.0)
         dz = p * (dp - delta_ref[:])
         dv_scr[:] += jax.lax.dot_general(
-            p.astype(do_ref.dtype),
+            pv.astype(do_ref.dtype),
             do_ref[:],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -412,86 +503,83 @@ def _bwd_call(
     lse: jax.Array,  # [BH, T, 1] f32
     delta: jax.Array,  # [BH, T, 1] f32
     lengths: jax.Array,  # [B] int32
+    seed: jax.Array,  # [1] int32
     heads: int,
     block_q: int,
     block_k: int,
     interpret: bool,
+    dropout_rate: float,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     bhn, t_pad, d = qs.shape
     n_q, n_k = t_pad // block_q, t_pad // block_k
 
-    params = {}
-    try:
-        params["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")
-        )
-    except TypeError:
-        params = {}
+    params = _compiler_params()
 
-    def q_map(bh, qi, ki, lens):
+    def q_map(bh, qi, ki, lens, seed_):
         return (bh, qi, 0)
 
-    def q1_map(bh, qi, ki, lens):
-        return (bh, qi, 0)
-
-    def kv_map(bh, qi, ki, lens):
+    def kv_map(bh, qi, ki, lens, seed_):
         last = jnp.maximum(lens[bh // heads] - 1, 0) // block_k
         return (bh, jnp.minimum(ki, last), 0)
 
     dq = pl.pallas_call(
         functools.partial(
-            _bwd_dq_kernel, heads=heads, block_k=block_k, block_q=block_q
+            _bwd_dq_kernel,
+            heads=heads,
+            block_k=block_k,
+            block_q=block_q,
+            dropout_rate=dropout_rate,
         ),
         out_shape=jax.ShapeDtypeStruct((bhn, t_pad, d), qs.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(bhn, n_q, n_k),
             in_specs=[
                 pl.BlockSpec((None, block_q, d), q_map),
                 pl.BlockSpec((None, block_k, d), kv_map),
                 pl.BlockSpec((None, block_k, d), kv_map),
                 pl.BlockSpec((None, block_q, d), q_map),
-                pl.BlockSpec((None, block_q, 1), q1_map),
-                pl.BlockSpec((None, block_q, 1), q1_map),
+                pl.BlockSpec((None, block_q, 1), q_map),
+                pl.BlockSpec((None, block_q, 1), q_map),
             ],
             out_specs=pl.BlockSpec((None, block_q, d), q_map),
             scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         ),
         interpret=interpret,
         **params,
-    )(lengths, qs, k, v, do, lse, delta)
+    )(lengths, seed, qs, k, v, do, lse, delta)
 
     # dk/dv: grid over k blocks; q innermost. q-side blocks beyond the valid
     # length are both skipped in-kernel and DMA-clamped here.
-    def qd_map(bh, ki, qi, lens):
+    def qd_map(bh, ki, qi, lens, seed_):
         last = jnp.maximum(lens[bh // heads] - 1, 0) // block_q
         return (bh, jnp.minimum(qi, last), 0)
 
-    def qd1_map(bh, ki, qi, lens):
-        last = jnp.maximum(lens[bh // heads] - 1, 0) // block_q
-        return (bh, jnp.minimum(qi, last), 0)
-
-    def k_map(bh, ki, qi, lens):
+    def k_map(bh, ki, qi, lens, seed_):
         return (bh, ki, 0)
 
     dk, dv = pl.pallas_call(
         functools.partial(
-            _bwd_dkv_kernel, heads=heads, block_k=block_k, block_q=block_q
+            _bwd_dkv_kernel,
+            heads=heads,
+            block_k=block_k,
+            block_q=block_q,
+            dropout_rate=dropout_rate,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((bhn, t_pad, d), k.dtype),
             jax.ShapeDtypeStruct((bhn, t_pad, d), v.dtype),
         ],
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(bhn, n_k, n_q),
             in_specs=[
                 pl.BlockSpec((None, block_q, d), qd_map),
                 pl.BlockSpec((None, block_k, d), k_map),
                 pl.BlockSpec((None, block_k, d), k_map),
                 pl.BlockSpec((None, block_q, d), qd_map),
-                pl.BlockSpec((None, block_q, 1), qd1_map),
-                pl.BlockSpec((None, block_q, 1), qd1_map),
+                pl.BlockSpec((None, block_q, 1), qd_map),
+                pl.BlockSpec((None, block_q, 1), qd_map),
             ],
             out_specs=[
                 pl.BlockSpec((None, block_k, d), k_map),
@@ -504,7 +592,7 @@ def _bwd_call(
         ),
         interpret=interpret,
         **params,
-    )(lengths, qs, k, v, do, lse, delta)
+    )(lengths, seed, qs, k, v, do, lse, delta)
     return dq, dk, dv
 
 
@@ -541,34 +629,50 @@ def _from_bh(x, b, t, h, d, t_pad):
     return x.reshape(b, h, t_pad, d).transpose(0, 2, 1, 3)[:, :t]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash_attention(q, k, v, lengths, block_q, block_k, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_attention(
+    q, k, v, lengths, seed, block_q, block_k, interpret, dropout_rate
+):
     # primal (inference) path: no logsumexp output at all
     qs, kb, vb, lens, meta = _prep(q, k, v, lengths, block_q, block_k)
     b, t, h, d, t_pad, bq, bk = meta
-    o, _ = _fwd_call(qs, kb, vb, lens, h, bq, bk, interpret, save_lse=False)
+    o, _ = _fwd_call(
+        qs, kb, vb, lens, seed, h, bq, bk, interpret,
+        save_lse=False, dropout_rate=dropout_rate,
+    )
     return _from_bh(o, b, t, h, d, t_pad)
 
 
-def _flash_fwd(q, k, v, lengths, block_q, block_k, interpret):
+def _flash_fwd(
+    q, k, v, lengths, seed, block_q, block_k, interpret, dropout_rate
+):
     qs, kb, vb, lens, meta = _prep(q, k, v, lengths, block_q, block_k)
     b, t, h, d, t_pad, bq, bk = meta
-    o, lse = _fwd_call(qs, kb, vb, lens, h, bq, bk, interpret, save_lse=True)
-    return _from_bh(o, b, t, h, d, t_pad), (qs, kb, vb, lens, o, lse, meta)
+    o, lse = _fwd_call(
+        qs, kb, vb, lens, seed, h, bq, bk, interpret,
+        save_lse=True, dropout_rate=dropout_rate,
+    )
+    return (
+        _from_bh(o, b, t, h, d, t_pad),
+        (qs, kb, vb, lens, seed, o, lse, meta),
+    )
 
 
-def _flash_bwd(block_q, block_k, interpret, res, g):
-    qs, kb, vb, lens, o, lse, meta = res
+def _flash_bwd(block_q, block_k, interpret, dropout_rate, res, g):
+    qs, kb, vb, lens, seed, o, lse, meta = res
     b, t, h, d, t_pad, bq, bk = meta
     if t_pad != t:
         g = jnp.pad(g, [(0, 0), (0, t_pad - t), (0, 0), (0, 0)])
     do = g.transpose(0, 2, 1, 3).reshape(b * h, t_pad, d)
-    # D_i = rowsum(dO * O): tiny elementwise+reduce, leave it to XLA
+    # D_i = rowsum(dO * O): tiny elementwise+reduce, leave it to XLA.
+    # (With dropout, rowsum(dO*O) = sum_j P~ dP~ = sum_j P dP — keep==keep²
+    # — so the delta trick is unchanged.)
     delta = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
     )
     dqs, dk, dv = _bwd_call(
-        qs, kb, vb, do, lse, delta, lens, h, bq, bk, interpret
+        qs, kb, vb, do, lse, delta, lens, seed, h, bq, bk, interpret,
+        dropout_rate,
     )
     # dq: the kernel accumulates dz @ k; dz/dq brings one factor of scale
     # (the log2(e) prescale belongs to s, not to z = logits)
@@ -578,6 +682,7 @@ def _flash_bwd(block_q, block_k, interpret, res, g):
         dq,
         _from_bh(dk, b, t, h, d, t_pad),
         _from_bh(dv, b, t, h, d, t_pad),
+        None,
         None,
     )
 
@@ -593,17 +698,32 @@ def flash_attention_kernel(
     block_q: int = _BLOCK_Q,
     block_k: int = _BLOCK_K,
     interpret: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,  # [1] int32
 ) -> jax.Array:
     """Differentiable Pallas flash attention (suffix-padding masked).
 
     `key_mask` must be suffix-contiguous (True prefix, False padding tail) —
     the encoder's padding masks always are; validity is reduced to one
     length per row so fully-padded blocks are skipped without even a DMA.
+
+    With `dropout_rate > 0` the kernel applies attention-prob dropout
+    (torch F.dropout semantics: softmax first, then scaled Bernoulli mask)
+    using a counter-hash keep mask regenerated identically in the backward
+    — the [T, T] mask never materializes. `dropout_seed` [1] int32 selects
+    the mask; the same seed reproduces the same mask.
     """
     lengths = None if key_mask is None else jnp.sum(
         key_mask.astype(jnp.int32), axis=1
     )
-    return _flash_attention(q, k, v, lengths, block_q, block_k, interpret)
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    if dropout_seed is None:
+        dropout_seed = jnp.zeros((1,), jnp.int32)
+    return _flash_attention(
+        q, k, v, lengths, dropout_seed, block_q, block_k, interpret,
+        float(dropout_rate),
+    )
 
 
 def flash_attention(
@@ -618,14 +738,13 @@ def flash_attention(
     """Public entry: flash kernels on TPU, reference math elsewhere.
 
     `bias` accepts the additive [B, 1, 1, T] padding bias the encoder builds
-    (converted to a key mask); attention dropout is not supported in the
-    kernel — callers use the XLA path when training with attention dropout.
+    (converted to a key mask). Attention-prob dropout runs inside the kernel
+    (seeded from `rng`); the short-sequence/non-TPU fallback applies the
+    same-semantics dropout in the XLA path (different mask bits — both are
+    valid Bernoulli(1-rate) samplers).
     """
-    if dropout_rate > 0.0 and rng is not None:
-        raise NotImplementedError(
-            "flash attention kernel has no attention-prob dropout; "
-            "use attention_impl='xla' for training with attention_dropout"
-        )
+    if dropout_rate > 0.0 and rng is None:
+        raise ValueError("dropout_rate > 0 requires an rng key")
     if key_mask is None and bias is not None:
         key_mask = bias[:, 0, 0, :] >= -1e30
 
@@ -633,5 +752,27 @@ def flash_attention(
     if not on_tpu or q.shape[1] < _MIN_T:
         # short sequences (3 s training crops, short eval buckets): XLA's
         # one-shot attention beats the kernel (measured crossover ~T=1024)
+        if dropout_rate > 0.0:
+            return _xla_dropout_attention(
+                q, k, v, key_mask, dropout_rate, rng
+            )
         return reference_attention(q, k, v, key_mask)
-    return flash_attention_kernel(q, k, v, key_mask)
+    seed = None
+    if dropout_rate > 0.0:
+        seed = jax.random.randint(
+            rng, (1,), minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32
+        )
+    return flash_attention_kernel(
+        q, k, v, key_mask, dropout_rate=dropout_rate, dropout_seed=seed
+    )
+
+
+def _xla_dropout_attention(q, k, v, key_mask, dropout_rate, rng):
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+    if key_mask is not None:
+        logits = jnp.where(key_mask[:, None, None, :], logits, _NEG_INF)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, probs.shape)
+    probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v)

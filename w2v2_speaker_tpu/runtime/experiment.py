@@ -239,6 +239,7 @@ def _w2v2_config(net: Dict, precision: str, remat: bool) -> Wav2Vec2Config:
             "dtype": "bfloat16" if precision == "bf16" else "float32",
             "remat": remat,
             "attention_impl": net.get("attention_impl", "xla"),
+            "encoder_unroll": net.get("encoder_unroll", 1),
         }
     )
 
@@ -884,9 +885,12 @@ def _run_speaker(cfg, dm, task: SpeakerTask, mesh, logger) -> float:
             db = strip_host_fields(batch)
             if db["features"].shape[0] != example["features"].shape[0]:
                 continue
+            # fixed-crop batches omit the (all-valid) mask at collate time
+            m = db.get("mask")
+            if m is None:
+                m = np.ones(db["features"].shape[:2], bool)
             e = np.asarray(
-                embed(state, jnp.asarray(db["features"]),
-                      jnp.asarray(db["mask"]))
+                embed(state, jnp.asarray(db["features"]), jnp.asarray(m))
             )
             embs.extend(e)
             labels.extend(np.asarray(db["labels"]).tolist())
@@ -902,7 +906,10 @@ def _run_speaker(cfg, dm, task: SpeakerTask, mesh, logger) -> float:
             if limit_val and i >= limit_val:
                 break
             db = strip_host_fields(batch)
-            feats, mask = db["features"], db["mask"]
+            feats = db["features"]
+            mask = db.get("mask")
+            if mask is None:  # equal-length batch: collate omitted the mask
+                mask = np.ones(feats.shape[:2], bool)
             pad = (-feats.shape[0]) % n_data
             if pad:
                 feats = np.concatenate(
