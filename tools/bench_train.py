@@ -196,13 +196,16 @@ def main():
     use_mask = not args.no_mask
 
     if "fwd" in want:
+        # rng key derived from traced data, never a closed-over concrete
+        # key: jit would inline it as a constant and re-fetch it from the
+        # device, which the remote transport can fail with an opaque
+        # "TPU backend error (Internal)"
         def fwd(p, f, mask, labels):
             b_ = {"features": f, "labels": labels}
             if use_mask:
                 b_["mask"] = mask
-            loss, _ = task.loss_fn(
-                p, {}, b_, jax.random.PRNGKey(0), train=True,
-            )
+            key = jax.random.PRNGKey(labels[0].astype(jnp.int32))
+            loss, _ = task.loss_fn(p, {}, b_, key, train=True)
             return loss.astype(jnp.float32)
 
         timed_loop(fwd, "forward only (train mode)", args.iters, state.params)

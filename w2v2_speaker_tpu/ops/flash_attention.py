@@ -40,6 +40,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -608,7 +609,10 @@ def _prep(q, k, v, lengths, block_q, block_k):
     scale = d**-0.5
     qs = q * jnp.asarray(scale * _LOG2E, q.dtype)
     if lengths is None:
-        lengths = jnp.full((b,), t, jnp.int32)
+        # numpy, not jnp: an eager device array would be re-fetched to host
+        # when jit inlines it as a constant (transport-fragile); numpy
+        # constants lower without a device->host read
+        lengths = np.full((b,), t, np.int32)
     if t_pad != t:
         pad = [(0, 0), (0, t_pad - t), (0, 0), (0, 0)]
         qs, k, v = jnp.pad(qs, pad), jnp.pad(k, pad), jnp.pad(v, pad)
@@ -719,7 +723,7 @@ def flash_attention_kernel(
     if dropout_rate > 0.0 and dropout_seed is None:
         raise ValueError("dropout_rate > 0 requires dropout_seed")
     if dropout_seed is None:
-        dropout_seed = jnp.zeros((1,), jnp.int32)
+        dropout_seed = np.zeros((1,), np.int32)  # host constant (see _prep)
     return _flash_attention(
         q, k, v, lengths, dropout_seed, block_q, block_k, interpret,
         float(dropout_rate),
