@@ -100,6 +100,32 @@ def _run_search(overrides, load_config, run_train_eval) -> float:
     return best
 
 
+def _pop_launcher(overrides):
+    """Split off `hydra/launcher=<name>` + `hydra.launcher.key=value`
+    overrides (the reference's submitit-launcher CLI surface,
+    `README.md:140`); returns (launcher_cfg | None, remaining_overrides)."""
+    name, knobs, rest = None, [], []
+    for ov in overrides:
+        key, _, val = ov.partition("=")
+        if key.lstrip("+") == "hydra/launcher":
+            name = val
+        elif key.startswith("hydra.launcher."):
+            knobs.append((key[len("hydra.launcher."):], val))
+        else:
+            rest.append(ov)
+    if name is None:
+        return None, rest
+    import yaml
+
+    path = CONFIG_DIR / "hydra" / "launcher" / f"{name}.yaml"
+    if not path.exists():
+        raise SystemExit(f"unknown launcher {name!r} ({path} missing)")
+    launcher = yaml.safe_load(path.read_text()) or {}
+    for k, v in knobs:
+        launcher[k] = yaml.safe_load(v)
+    return launcher, rest
+
+
 def main(argv=None) -> float:
     _load_dotenv()
     overrides = list(sys.argv[1:] if argv is None else argv)
@@ -111,6 +137,22 @@ def main(argv=None) -> float:
 
     from w2v2_speaker_tpu.runtime.config import load_config
     from w2v2_speaker_tpu.runtime.experiment import run_train_eval
+
+    launcher, overrides = _pop_launcher(overrides)
+    if launcher is not None:
+        # render/submit the sweep as a SLURM array job; each task re-enters
+        # run.py without the launcher overrides
+        import math
+
+        from w2v2_speaker_tpu.runtime.slurm import launch_slurm
+
+        runs = _expand_multirun(overrides) if multirun else [overrides]
+        base_cfg = load_config(CONFIG_DIR, "train_eval", overrides)
+        sweep_dir = launcher.get("submitit_folder") or (
+            str(base_cfg["trainer"]["checkpoint_dir"]) + "/.slurm"
+        )
+        launch_slurm(launcher, runs, pathlib.Path(sweep_dir))
+        return math.nan  # objective is produced by the array tasks
 
     has_search = any(
         ov.split("=", 1)[0].lstrip("+") == "search" for ov in overrides
