@@ -349,3 +349,17 @@ def test_kernel_boundary_window_length():
             np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-5,
             err_msg=f"d{name} mismatch",
         )
+
+
+def test_kernel_dispatch_profitability():
+    """Public-entry dispatch: kernel only for lengths where block-rounded
+    compute stays near T^2 (measured anchors in _kernel_profitable)."""
+    from w2v2_speaker_tpu.ops.flash_attention import _kernel_profitable
+
+    assert not _kernel_profitable(512)    # below crossover
+    assert not _kernel_profitable(1049)   # 2048^2 work for 1049^2 problem
+    assert not _kernel_profitable(1536)   # measured tie -> prefer XLA
+    assert _kernel_profitable(2048)
+    assert _kernel_profitable(3072)
+    assert _kernel_profitable(4096)
+    assert _kernel_profitable(6016)       # the 2-min-utterance shape

@@ -730,6 +730,26 @@ def flash_attention_kernel(
     )
 
 
+def _kernel_profitable(t: int) -> bool:
+    """Dispatch rule: the kernel only wins when the block-rounded compute
+    stays close to the true T^2 work.
+
+    Partially-valid boundary blocks compute their FULL block (only wholly
+    invalid blocks are skipped), so at e.g. T=1049 the kernel does
+    2048x2048 work for a 1049^2 problem — measured 4x slower than XLA
+    there, while at aligned T>=2048 it is ~2x faster. Anchors (bf16,
+    B=4, H=12, d=64, v5e): T=1049 XLA 0.22 ms / flash 0.91; T=1536 tie
+    (0.92 vs 0.93); T=2048 flash 2.1x; T=6016 flash 2.0x. Threshold 1.5
+    accepts T=2048/3072/aligned, rejects the tie and the blowup.
+    """
+    if t < _MIN_T:
+        return False
+    _, bq, bk = _pick_blocks(_round_up(t, _LANES), _BLOCK_Q, _BLOCK_K)
+    qa = -(-t // bq) * bq  # rows of blocks actually computed
+    ka = -(-t // bk) * bk
+    return qa * ka <= 1.5 * t * t
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -753,9 +773,9 @@ def flash_attention(
         key_mask = bias[:, 0, 0, :] >= -1e30
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    if not on_tpu or q.shape[1] < _MIN_T:
-        # short sequences (3 s training crops, short eval buckets): XLA's
-        # one-shot attention beats the kernel (measured crossover ~T=1024)
+    if not on_tpu or not _kernel_profitable(q.shape[1]):
+        # short sequences (3 s training crops, short eval buckets) and
+        # badly block-aligned lengths: XLA's one-shot attention wins
         if dropout_rate > 0.0:
             return _xla_dropout_attention(
                 q, k, v, key_mask, dropout_rate, rng
