@@ -284,3 +284,39 @@ def test_encoder_unroll_equivalence():
     np.testing.assert_allclose(
         np.asarray(o1), np.asarray(oN), atol=2e-5, rtol=1e-4
     )
+
+
+def test_posconv_formulations_equivalent():
+    """posconv_decomposed toggles codegen only: outputs identical, and at
+    single-gradient-per-program (no accumulation) the grads agree too."""
+    import dataclasses
+
+    from w2v2_speaker_tpu.models.wav2vec2 import Wav2Vec2Model
+
+    wavs = _wav_batch(0, bs=2)["features"]
+    m_dec = Wav2Vec2Model(
+        cfg=dataclasses.replace(TINY_W2V2, posconv_decomposed=True)
+    )
+    m_nat = Wav2Vec2Model(
+        cfg=dataclasses.replace(TINY_W2V2, posconv_decomposed=False)
+    )
+    v = m_dec.init(jax.random.PRNGKey(0), wavs)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        m_nat.init(jax.random.PRNGKey(0), wavs)
+    )
+    o1, _ = m_dec.apply(v, wavs)
+    o2, _ = m_nat.apply(v, wavs)
+    np.testing.assert_allclose(
+        np.asarray(o1), np.asarray(o2), atol=2e-5, rtol=1e-4
+    )
+
+    def loss(variables, model):
+        out, _ = model.apply(variables, wavs)
+        return (out**2).mean()
+
+    g1 = jax.grad(loss)(v, m_dec)
+    g2 = jax.grad(loss)(v, m_nat)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4
+        )

@@ -46,6 +46,10 @@ def main():
         "--unroll", type=int, default=99,
         help="encoder scan unroll factor (99 = full, production default)",
     )
+    ap.add_argument(
+        "--posconv-decomposed", action="store_true",
+        help="per-group dense pos conv instead of native grouped",
+    )
     args = ap.parse_args()
 
     import jax
@@ -78,6 +82,9 @@ def main():
         layerdrop=args.layerdrop,
         remat=args.remat,
         encoder_unroll=args.unroll,
+        # acc=1 production setting: native grouped pos conv (grad-safe when
+        # each program computes the gradient once)
+        posconv_decomposed=args.posconv_decomposed,
     )
     model = Wav2Vec2SpeakerModel(
         cfg=Wav2Vec2SpeakerConfig(w2v2=w2v2, stat_pooling_type="mean"),

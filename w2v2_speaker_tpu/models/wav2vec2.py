@@ -79,6 +79,20 @@ class Wav2Vec2Config:
     # compute
     dtype: str = "float32"
     remat: bool = False  # rematerialize encoder layers (memory for FLOPs)
+    # Positional-conv gradient formulation. XLA's SPMD partitioner computes
+    # grouped-conv KERNEL gradients exactly x accumulation_count when the
+    # same conv's grad is accumulated more than once per program over a
+    # batch-sharded input (tests/test_grad_accumulation.py::
+    # test_grouped_conv_spmd_grad). True (default) decomposes into
+    # per-group dense convs — always-correct gradients; False uses the
+    # single native feature_group_count conv, which is correct whenever
+    # each program computes the gradient once (accumulate_grad_batches ==
+    # 1 — the experiment builder picks this automatically). In isolation
+    # the native backward measures ~1.3 ms faster at BASE batch-66 shapes,
+    # but at full-step level the two are within noise (XLA overlaps the
+    # small per-group convs); the knob exists for grad-safety, not speed.
+    # Identical math, params and checkpoint layout either way.
+    posconv_decomposed: bool = True
     # lax.scan unroll factor over encoder layers. The scanned backward pays
     # ~50% over an unrolled one (measured on v5e: 12-layer BASE stack
     # fwd+bwd 68.9 ms scanned vs 47.8 ms unrolled at batch 66 x 149
@@ -273,29 +287,37 @@ class PosConvEmbedding(nn.Module):
         # torch layout [out, in/groups, k] -> flax NWC kernel [k, in/groups, out]
         kernel = jnp.transpose(w, (2, 1, 0)).astype(dtype)
 
-        # NOTE: decomposed into per-group DENSE convs instead of one
-        # feature_group_count=groups conv. XLA's SPMD partitioner computes
-        # grouped-conv KERNEL gradients wrong (exactly x accumulate_steps)
-        # when the same grouped conv's grad is accumulated more than once
-        # per program over a batch-sharded input (minimal repro in
-        # tests/test_grad_accumulation.py::test_grouped_conv_spmd_grad).
-        # Identical math and FLOPs; group g owns output channels
-        # [g*h/G, (g+1)*h/G) of the torch grouped-conv layout.
+        # two formulations, identical math/params (cfg.posconv_decomposed):
+        # per-group DENSE convs (always-correct kernel grads under SPMD
+        # accumulation — see the config field's note) vs one native
+        # feature_group_count conv (faster backward; safe when each
+        # program computes the gradient once). Group g owns output
+        # channels [g*h/G, (g+1)*h/G) of the torch grouped-conv layout.
         pad = k // 2
-        hg = h // groups
         xg = x.astype(dtype)
-        outs = []
-        for g in range(groups):
-            outs.append(
-                jax.lax.conv_general_dilated(
-                    xg[..., g * hg : (g + 1) * hg],
-                    kernel[:, :, g * hg : (g + 1) * hg],
-                    window_strides=(1,),
-                    padding=[(pad, pad)],
-                    dimension_numbers=("NWC", "WIO", "NWC"),
+        if self.cfg.posconv_decomposed:
+            hg = h // groups
+            outs = []
+            for g in range(groups):
+                outs.append(
+                    jax.lax.conv_general_dilated(
+                        xg[..., g * hg : (g + 1) * hg],
+                        kernel[:, :, g * hg : (g + 1) * hg],
+                        window_strides=(1,),
+                        padding=[(pad, pad)],
+                        dimension_numbers=("NWC", "WIO", "NWC"),
+                    )
                 )
+            out = jnp.concatenate(outs, axis=-1)
+        else:
+            out = jax.lax.conv_general_dilated(
+                xg,
+                kernel,
+                window_strides=(1,),
+                padding=[(pad, pad)],
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=groups,
             )
-        out = jnp.concatenate(outs, axis=-1)
         out = out + bias.astype(dtype)
         if k % 2 == 0:  # SamePadLayer: drop the trailing frame
             out = out[:, :-1, :]

@@ -219,7 +219,9 @@ def build_evaluator(cfg: Dict) -> SpeakerRecognitionEvaluator:
     raise ValueError(f"unknown evaluator {e['name']}")
 
 
-def _w2v2_config(net: Dict, precision: str, remat: bool) -> Wav2Vec2Config:
+def _w2v2_config(
+    net: Dict, precision: str, remat: bool, accumulate: int = 1
+) -> Wav2Vec2Config:
     size = net.get("wav2vec2_size", "base")
     base = {"base": BASE_CONFIG, "large": LARGE_CONFIG, "tiny": TINY_W2V2}[
         size
@@ -227,6 +229,10 @@ def _w2v2_config(net: Dict, precision: str, remat: bool) -> Wav2Vec2Config:
     return Wav2Vec2Config(
         **{
             **base.__dict__,
+            # native grouped pos-conv (faster bwd) is only grad-safe when
+            # each program computes the gradient once — see the config
+            # field's note on the XLA SPMD grouped-conv bug
+            "posconv_decomposed": accumulate > 1,
             "activation_dropout": net["activation_dropout"],
             "attention_dropout": net["attention_dropout"],
             "feat_proj_dropout": net["feat_proj_dropout"],
@@ -251,6 +257,7 @@ def build_model_and_task(cfg: Dict, num_speakers: int, tokenizer=None):
     loss_name = cfg["optim"]["loss"]["name"]
     precision = cfg["trainer"]["precision"]
     remat = cfg["trainer"].get("remat", False)
+    acc = int(cfg["trainer"].get("accumulate_grad_batches") or 1)
     n_out = net.get("explicit_num_speakers") or num_speakers
 
     mode_map = {
@@ -304,7 +311,7 @@ def build_model_and_task(cfg: Dict, num_speakers: int, tokenizer=None):
         return SpeakerTask(model=model, mode=mode_map[loss_name]), "speaker"
 
     if name == "wav2vec2_fc":
-        w2v2 = _w2v2_config(net, precision, remat)
+        w2v2 = _w2v2_config(net, precision, remat, acc)
         model = Wav2Vec2SpeakerModel(
             cfg=Wav2Vec2SpeakerConfig(
                 w2v2=w2v2,
@@ -383,7 +390,7 @@ def build_model_and_task(cfg: Dict, num_speakers: int, tokenizer=None):
         return SpeakerTask(model=model, mode=mode_map[loss_name]), "speaker"
 
     if name == "wav2vec2_paired":
-        w2v2 = _w2v2_config(net, precision, remat)
+        w2v2 = _w2v2_config(net, precision, remat, acc)
         model = Wav2Vec2PairedModel(
             cfg=Wav2Vec2PairedConfig(
                 w2v2=w2v2,
@@ -396,7 +403,7 @@ def build_model_and_task(cfg: Dict, num_speakers: int, tokenizer=None):
     if name == "wav2vec2_fc_letter":
         if tokenizer is None:
             raise ValueError("speech network requires a tokenizer")
-        w2v2 = _w2v2_config(net, precision, remat)
+        w2v2 = _w2v2_config(net, precision, remat, acc)
         model = Wav2Vec2SpeechModel(
             cfg=Wav2Vec2SpeechConfig(
                 w2v2=w2v2,
