@@ -11,9 +11,11 @@
 // reference encoder: constant / verbatim / fixed(0-4) / LPC(1-32)
 // subframes, Rice residual methods 0 and 1 with escape partitions, wasted
 // bits, all inter-channel decorrelation modes, 8/12/16/20/24-bit depths,
-// both blocking strategies. CRC-8 of frame headers is verified; frames with
-// bad sync or CRC abort with an error code (no resync heuristics - decode
-// is for trusted local corpora).
+// both blocking strategies. CRC-8 of frame headers AND CRC-16 of whole
+// frames are verified; frames with bad sync or CRC abort with an error
+// code (no resync heuristics). Malformed structure (e.g. predictor order
+// exceeding the partition size) is rejected before any buffer writes, so
+// corrupt or malicious files fail cleanly instead of corrupting memory.
 
 #include <cstdint>
 #include <cstring>
@@ -104,6 +106,25 @@ uint8_t crc8(const uint8_t* d, int64_t n) {
   return c;
 }
 
+// CRC-16 (poly 0x8005, init 0) over the whole frame, per the FLAC spec.
+uint16_t crc16(const uint8_t* d, int64_t n) {
+  static const struct Table {
+    uint16_t t[256];
+    Table() {
+      for (int i = 0; i < 256; i++) {
+        uint16_t c = (uint16_t)(i << 8);
+        for (int j = 0; j < 8; j++)
+          c = (c & 0x8000) ? (uint16_t)((c << 1) ^ 0x8005) : (uint16_t)(c << 1);
+        t[i] = c;
+      }
+    }
+  } tbl;
+  uint16_t c = 0;
+  for (int64_t i = 0; i < n; i++)
+    c = (uint16_t)((c << 8) ^ tbl.t[((c >> 8) ^ d[i]) & 0xff]);
+  return c;
+}
+
 struct StreamInfo {
   uint32_t sample_rate = 0;
   uint32_t channels = 0;
@@ -180,9 +201,16 @@ bool read_residual(BitReader* br, uint32_t blocksize, uint32_t pred_order,
   uint32_t porder;
   if (!br->read(4, &porder)) return false;
   uint32_t partitions = 1u << porder;
-  if (blocksize % partitions || blocksize >> porder <= pred_order) {
-    if (partitions > 1) return false;
-  }
+  // The first partition holds (blocksize >> porder) - pred_order samples;
+  // reject any frame where that would underflow REGARDLESS of partition
+  // count (a crafted blocksize < pred_order would otherwise wrap the
+  // uint32 count and overflow the caller's sample buffer). Multi-partition
+  // frames additionally require even divisibility and a non-empty first
+  // partition, per the spec.
+  if (pred_order > (blocksize >> porder)) return false;
+  if (partitions > 1 &&
+      (blocksize % partitions || blocksize >> porder <= pred_order))
+    return false;
   uint32_t idx = 0;
   for (uint32_t part = 0; part < partitions; part++) {
     uint32_t count = (blocksize >> porder) - (part == 0 ? pred_order : 0);
@@ -241,6 +269,7 @@ bool decode_subframe(BitReader* br, uint32_t blocksize, uint32_t bps,
       if (!br->read_signed(ebps, &out[i])) return false;
   } else if ((type & 0x38) == 0x08 && (type & 0x07) <= 4) {  // FIXED
     uint32_t order = type & 0x07;
+    if (order > blocksize) return false;
     for (uint32_t i = 0; i < order; i++)
       if (!br->read_signed(ebps, &out[i])) return false;
     if (!read_residual(br, blocksize, order, out + order)) return false;
@@ -252,6 +281,7 @@ bool decode_subframe(BitReader* br, uint32_t blocksize, uint32_t bps,
     }
   } else if (type & 0x20) {  // LPC
     uint32_t order = (type & 0x1f) + 1;
+    if (order > blocksize) return false;
     for (uint32_t i = 0; i < order; i++)
       if (!br->read_signed(ebps, &out[i])) return false;
     uint32_t prec;
@@ -394,8 +424,14 @@ int w2vtpu_flac_decode(const uint8_t* data, int64_t n, int32_t* out,
       if (!decode_subframe(&br, blocksize, sub_bps, chan[c])) return -8;
     }
     if (!br.align_byte()) return -5;
-    uint32_t crc16;
-    if (!br.read(16, &crc16)) return -5;  // frame CRC: presence-checked only
+    int64_t frame_end = br.byte_pos();  // byte-aligned: end of subframe data
+    uint32_t crc16_read;
+    if (!br.read(16, &crc16_read)) return -5;
+    // Frame CRC-16 covers everything from the first header byte through the
+    // last (aligned) subframe byte; mismatch = corrupt frame body.
+    if (crc16(data + frame_start, frame_end - frame_start) !=
+        (uint16_t)crc16_read)
+      return -6;
 
     // undo inter-channel decorrelation
     if (mode == LEFT_SIDE) {

@@ -151,6 +151,20 @@ def main(argv=None) -> float:
         sweep_dir = launcher.get("submitit_folder") or (
             str(base_cfg["trainer"]["checkpoint_dir"]) + "/.slurm"
         )
+        if multirun:
+            # mirror the local multirun path: every array task gets its own
+            # checkpoint subdir, otherwise concurrent tasks
+            # (array_parallelism > 1) clobber each other's checkpoints and
+            # corrupt best-checkpoint selection
+            jobs = []
+            for i, run_overrides in enumerate(runs):
+                cfg_i = load_config(CONFIG_DIR, "train_eval", run_overrides)
+                ckpt = str(cfg_i["trainer"]["checkpoint_dir"])
+                jobs.append(
+                    run_overrides
+                    + [f"trainer.checkpoint_dir={ckpt}/job{i}"]
+                )
+            runs = jobs
         launch_slurm(launcher, runs, pathlib.Path(sweep_dir))
         return math.nan  # objective is produced by the array tasks
 

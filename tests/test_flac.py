@@ -136,3 +136,110 @@ def test_librispeech_discovery_includes_flac(tmp_path):
     entries = _discover_transcribed_wavs(tmp_path)
     assert [e["key"] for e in entries] == ["19-198-0000", "19-198-0001"]
     assert entries[0]["transcription"] == "HELLO WORLD"
+
+
+# ---------------------------------------------------------------------------
+# Corrupt / adversarial stream handling (advisor round-2 findings)
+# ---------------------------------------------------------------------------
+
+
+def _craft_underflow_stream(n_filler_bits=50_000):
+    """A valid-headered mono/16-bit stream whose single frame declares
+    blocksize 2 but an LPC subframe of order 32.
+
+    Before the fix, read_residual computed the partition sample count as
+    (blocksize >> porder) - pred_order in uint32, underflowing to ~4.29e9
+    and writing residuals far past the decoder's per-channel buffer
+    (memory corruption from a file whose frame-header CRC-8 is valid).
+    """
+    from w2v2_speaker_tpu.utils import flac_encode as fe
+
+    out = bytearray(b"fLaC")
+    si = fe.BitWriter()
+    si.write(2, 16)  # min blocksize
+    si.write(2, 16)  # max blocksize
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(16000, 20)
+    si.write(0, 3)  # 1 channel
+    si.write(15, 5)  # 16 bps
+    si.write(1000, 36)
+    body = si.bytes() + b"\x00" * 16  # dummy md5
+    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+    bw = fe.BitWriter()
+    bw.write(0x3FFE, 14)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(6, 4)  # blocksize: 8-bit value follows
+    bw.write(5, 4)  # 16 kHz
+    bw.write(0, 4)  # 1 channel
+    bw.write(4, 3)  # 16 bps
+    bw.write(0, 1)
+    bw.write(0, 8)  # coded frame number 0
+    bw.write(1, 8)  # blocksize - 1  ->  blocksize 2
+    hdr = bytes(bw.out)
+    assert bw.nbits == 0
+    bw.write(fe._crc8(hdr), 8)  # header CRC passes
+    # LPC subframe, order 32 (> blocksize)
+    bw.write(0, 1)
+    bw.write(0x3F, 6)
+    bw.write(0, 1)
+    for _ in range(32):
+        bw.write_signed(0, 16)  # warmup
+    bw.write(11, 4)  # precision - 1
+    bw.write_signed(0, 5)  # shift
+    for _ in range(32):
+        bw.write_signed(0, 12)  # coefficients
+    # residual: rice method 0, partition order 0, param 0, then a long run
+    # of unary-coded zero residuals the old count-underflow would consume
+    bw.write(0, 2)
+    bw.write(0, 4)
+    bw.write(0, 4)
+    for _ in range(n_filler_bits):
+        bw.write(1, 1)
+    bw.align()
+    bw.write(fe._crc16(bytes(bw.out)), 16)
+    out += bw.bytes()
+    return bytes(out)
+
+
+def test_predictor_order_exceeding_blocksize_rejected(tmp_path):
+    p = tmp_path / "evil.flac"
+    p.write_bytes(_craft_underflow_stream())
+    with pytest.raises(ValueError, match="malformed subframe"):
+        nflac.read_flac(p)
+
+
+def test_frame_crc16_verified(tmp_path):
+    # Flip one bit inside verbatim sample data: structurally still a valid
+    # frame, so only the whole-frame CRC-16 check can catch it.
+    data = bytearray(
+        encode_flac(_speechy(64), blocksize=64, force_subframe="verbatim")
+    )
+    frames_start = 4 + 4 + 34  # fLaC + block header + STREAMINFO
+    data[frames_start + 20] ^= 0x10
+    p = tmp_path / "bitflip.flac"
+    p.write_bytes(bytes(data))
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        nflac.read_flac(p)
+
+
+def test_unknown_total_samples_grows_buffer(tmp_path):
+    # Constant-subframe streams decode far more samples per byte than the
+    # len(data)*8/bps capacity heuristic assumes; with STREAMINFO
+    # total_samples zeroed (legal: 0 = unknown) decode must retry with a
+    # grown buffer rather than fail with -9.
+    n = 300_000
+    data = bytearray(encode_flac(np.zeros(n, dtype=np.int32)))
+    # STREAMINFO total_samples: bits 108..144 of the 34-byte body at offset 8
+    body = 8
+    data[body + 13] &= 0xF0
+    data[body + 14 : body + 18] = b"\x00\x00\x00\x00"
+    p = tmp_path / "unknown_total.flac"
+    p.write_bytes(bytes(data))
+    total, ch, sr, bps = nflac.probe(bytes(data))
+    assert total == 0  # the field really was cleared
+    got, sr = nflac.read_flac(p, dtype=np.int32)
+    assert got.shape == (n,)
+    assert not got.any()

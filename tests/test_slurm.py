@@ -87,3 +87,7 @@ def test_run_cli_slurm_launcher_renders_grid(tmp_path, capsys, monkeypatch):
     assert "hydra" not in text.split("CMDS=(")[1]
     for lr in ("1e-3", "1e-4", "1e-5"):
         assert f"optim.algo.lr={lr}" in text
+    # every array task gets its own checkpoint subdir (concurrent tasks
+    # with array_parallelism > 1 must not clobber each other's checkpoints)
+    for i in range(3):
+        assert f"trainer.checkpoint_dir={tmp_path / 'ckpt'}/job{i}" in text

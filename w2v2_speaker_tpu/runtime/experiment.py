@@ -231,8 +231,10 @@ def _w2v2_config(
             **base.__dict__,
             # native grouped pos-conv (faster bwd) is only grad-safe when
             # each program computes the gradient once — see the config
-            # field's note on the XLA SPMD grouped-conv bug
-            "posconv_decomposed": accumulate > 1,
+            # field's note on the XLA SPMD grouped-conv bug. YAML/CLI can
+            # override the automatic choice (e.g. force the decomposed
+            # path under other SPMD multi-grad patterns).
+            "posconv_decomposed": net.get("posconv_decomposed", accumulate > 1),
             "activation_dropout": net["activation_dropout"],
             "attention_dropout": net["attention_dropout"],
             "feat_proj_dropout": net["feat_proj_dropout"],
@@ -724,6 +726,51 @@ def _scale_injected_lr(state: TrainState, new_lr: float) -> TrainState:
     return state.replace(opt_state=new_opt_state)
 
 
+class EarlyStopping:
+    """Stop training when the monitored metric stops improving or diverges
+    (reference config/callbacks/speaker_early_stopping.yaml: PL EarlyStopping
+    on val_eer, min_delta 0, patience 4, mode min, check_finite,
+    divergence_threshold). Returns a human-readable stop reason or None."""
+
+    def __init__(self, monitor="val_eer", min_delta=0.0, patience=4,
+                 mode="min", check_finite=True, divergence_threshold=None):
+        self.monitor = monitor
+        self.min_delta = abs(float(min_delta))
+        self.patience = int(patience)
+        self.sign = -1.0 if mode == "min" else 1.0
+        self.check_finite = bool(check_finite)
+        self.divergence_threshold = divergence_threshold
+        self.best = None
+        self.wait = 0
+
+    def update(self, val_metrics: Dict) -> Optional[str]:
+        if self.monitor not in val_metrics:
+            return None
+        value = float(val_metrics[self.monitor])
+        if self.check_finite and not np.isfinite(value):
+            return f"{self.monitor} is not finite ({value})"
+        if self.divergence_threshold is not None and (
+            self.sign * value < self.sign * float(self.divergence_threshold)
+        ):
+            return (
+                f"{self.monitor}={value:.4f} diverged past "
+                f"{self.divergence_threshold}"
+            )
+        if self.best is None or (
+            self.sign * value > self.sign * self.best + self.min_delta
+        ):
+            self.best = value
+            self.wait = 0
+            return None
+        self.wait += 1
+        if self.wait > self.patience:
+            return (
+                f"{self.monitor} did not improve for {self.wait} "
+                f"validations (best {self.best:.4f})"
+            )
+        return None
+
+
 def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
                 loss_fn_kind="speaker", on_step=None):
     trainer = cfg["trainer"]
@@ -760,6 +807,19 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
         plateau_ctl = schedules.ReduceLROnPlateauController(
             factor=sc.get("factor", 0.1), patience=sc.get("patience", 10)
         )
+    plateau_factor = 1.0
+
+    early_stop = None
+    es_cfg = (cfg.get("callbacks") or {}).get("early_stopping")
+    if es_cfg:
+        early_stop = EarlyStopping(
+            monitor=es_cfg.get("monitor", "val_eer"),
+            min_delta=es_cfg.get("min_delta", 0.0),
+            patience=es_cfg.get("patience", 4),
+            mode=es_cfg.get("mode", "min"),
+            check_finite=es_cfg.get("check_finite", True),
+            divergence_threshold=es_cfg.get("divergence_threshold"),
+        )
 
     # jax profiler trace window (the reference's PL profiler configs,
     # SURVEY §5.1); produces a TensorBoard-readable trace
@@ -772,7 +832,9 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
     expected_shapes = None
     first_batch_dumped = False
     epoch = 0
-    while step < max_steps:
+    dropped_ragged = 0
+    stop_reason = None
+    while step < max_steps and stop_reason is None:
         epoch_batches = 0
         for batch in train_iter_fn(epoch):
             db = strip_host_fields(batch)
@@ -797,6 +859,14 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
                             f" by accumulate_grad_batches={acc}"
                         )
                 if db["features"].shape[0] != expected_shapes[0]:
+                    # never drop silently: a mis-sized batch stream would
+                    # otherwise train on a fraction of the data untraced
+                    dropped_ragged += 1
+                    print(
+                        f"dropped ragged train batch #{dropped_ragged}: "
+                        f"leading dim {db['features'].shape[0]} != "
+                        f"{expected_shapes[0]}"
+                    )
                     continue
             else:
                 # pad token-budget batches to a row count divisible by both
@@ -836,10 +906,25 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
                     )
                     factor = plateau_ctl.update(float(monitor))
                     state = _scale_injected_lr(state, base_lr * factor)
+                    if factor != plateau_factor:
+                        plateau_factor = factor
+                        print(
+                            f"plateau: effective lr -> {base_lr * factor:.6g}"
+                            f" (factor {factor:g})"
+                        )
+                if early_stop is not None:
+                    stop_reason = early_stop.update(val_metrics)
+                    if stop_reason is not None:
+                        print(
+                            f"early stopping at step {step}: {stop_reason}"
+                        )
+                        break
             if step >= max_steps or (
                 limit_train and epoch_batches >= limit_train
             ):
                 break
+        if stop_reason is not None:
+            break
         if limit_train and step < max_steps:
             # debug-trainer style epoch cap: also run validation at the end
             val_metrics = validate_fn(state)
@@ -849,6 +934,8 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
         if epoch_batches == 0:
             raise RuntimeError("train loader yielded no usable batches")
         epoch += 1
+    if dropped_ragged:
+        print(f"total ragged train batches dropped: {dropped_ragged}")
     return state, ckpt
 
 

@@ -39,7 +39,7 @@ _ERRORS = {
     -3: "missing STREAMINFO",
     -4: "unsupported stream parameters",
     -5: "malformed frame header",
-    -6: "frame header CRC mismatch",
+    -6: "frame CRC mismatch (corrupt header or frame body)",
     -7: "channel count changed mid-stream",
     -8: "malformed subframe",
     -9: "more samples than STREAMINFO declared",
@@ -123,15 +123,23 @@ def read_flac(
     total, ch, sr, bps = probe(data)
     lib = load()
     buf, ptr = _as_u8(data)
-    # total may be 0 (unknown); over-allocate from the byte size then
+    # total may be 0 (unknown); start from a byte-size heuristic then. Well-
+    # compressed streams (constant/rice frames) can decode many samples per
+    # byte, so on capacity overflow (-9) with unknown total we retry with a
+    # geometrically grown buffer instead of failing.
     cap = total if total > 0 else (len(data) * 8 // max(bps, 1) + 65536)
-    out = np.empty(cap * ch, dtype=np.int32)
-    written = ctypes.c_int64()
-    rc = lib.w2vtpu_flac_decode(
-        ptr, len(buf), out.ctypes.data_as(_i32p), cap, ctypes.byref(written)
-    )
-    if rc != 0:
-        raise ValueError(f"FLAC decode failed: {_ERRORS.get(rc, rc)}")
+    while True:
+        out = np.empty(cap * ch, dtype=np.int32)
+        written = ctypes.c_int64()
+        rc = lib.w2vtpu_flac_decode(
+            ptr, len(buf), out.ctypes.data_as(_i32p), cap, ctypes.byref(written)
+        )
+        if rc == -9 and total == 0 and cap < (1 << 34):
+            cap *= 4
+            continue
+        if rc != 0:
+            raise ValueError(f"FLAC decode failed: {_ERRORS.get(rc, rc)}")
+        break
     n = written.value
     pcm = out[: n * ch].reshape(n, ch)
     if ch == 1:
