@@ -184,3 +184,149 @@ def test_prefetcher_propagates_errors():
     assert next(it) == 1
     with pytest.raises(RuntimeError):
         list(it)
+
+
+# ---------------------------------------------------------------------------
+# Multi-corpus composition (train vox2-dev / test all-vox1 — the reference's
+# headline protocol, voxceleb.py:1442-1520 + voxceleb2_test_hard.yaml:7-24)
+# ---------------------------------------------------------------------------
+
+
+def _build_corpus_tree(root, spk_ids, n_yt=2, n_utt=2, seed=0):
+    rng = np.random.default_rng(seed)
+    keys = []
+    for spk in spk_ids:
+        for y in range(n_yt):
+            for u in range(n_utt):
+                k = f"{spk}/yt{y}/{u:05d}"
+                p = root / f"{k}.wav"
+                p.parent.mkdir(parents=True, exist_ok=True)
+                dur = int(SR * rng.uniform(1.0, 1.4))
+                write_wav(
+                    p, rng.normal(0, 0.1, size=dur).astype(np.float32), SR
+                )
+                keys.append(k)
+    return keys
+
+
+def test_multi_corpus_train_vox2_test_all_vox1(tmp_path):
+    """Compose two synthetic corpora: vox1-dev + vox1-test (all test via
+    all_voxceleb1_is_test_set) and vox2-dev (train). The trial file covers
+    most-but-not-all vox1 speakers: those absent from it must be dropped
+    entirely (reference voxceleb.py:1513-1517), vox2 speakers must form the
+    train/val splits, and the shard-meta disjointness asserts must pass."""
+    from w2v2_speaker_tpu.data.shards import ShardReader
+
+    vox1_dev = tmp_path / "vox1/wav"
+    vox1_test = tmp_path / "vox1_test/wav"
+    vox2_dev = tmp_path / "vox2/wav"
+    v1_dev_ids = [f"id1{s:04d}" for s in range(3)]
+    v1_test_ids = [f"id1{s:04d}" for s in range(3, 5)]
+    v2_ids = [f"id0{s:04d}" for s in range(4)]
+    _build_corpus_tree(vox1_dev, v1_dev_ids, seed=1)
+    _build_corpus_tree(vox1_test, v1_test_ids, seed=2)
+    _build_corpus_tree(vox2_dev, v2_ids, n_yt=3, n_utt=3, seed=3)
+
+    # hard-style trial list over all vox1 speakers EXCEPT id10002
+    trial_ids = [i for i in v1_dev_ids + v1_test_ids if i != "id10002"]
+    lines = []
+    for i, spk in enumerate(trial_ids):
+        lines.append(f"1 {spk}/yt0/00000.wav {spk}/yt1/00001.wav")
+        other = trial_ids[(i + 1) % len(trial_ids)]
+        lines.append(f"0 {spk}/yt0/00000.wav {other}/yt1/00000.wav")
+    trial = tmp_path / "list_test_hard2.txt"
+    trial.write_text("\n".join(lines) + "\n")
+
+    dm = VoxCelebDataModule(
+        VoxCelebConfig(
+            data_dir=None,
+            shards_dir=tmp_path / "shards",
+            test_trial_path=trial,
+            voxceleb1_dev_dir=vox1_dev,
+            voxceleb1_test_dir=vox1_test,
+            voxceleb2_dev_dir=vox2_dev,
+            use_voxceleb1_dev=True,
+            use_voxceleb1_test=True,
+            use_voxceleb2_dev=True,
+            all_voxceleb1_is_test_set=True,
+            train_val_split_mode="equal",
+            train_val_ratio=0.7,
+            samples_per_shard=4,
+            batch_size=4,
+            chunk_length_sec=1.0,
+            eer_validation_pairs=8,
+            seed=7,
+        )
+    )
+    dm.prepare_data()  # includes _assert_split_consistency
+    out = dm.cfg.shards_dir
+
+    def split_speakers(split):
+        return {
+            s.key.split("/")[0]
+            for s in ShardReader(ShardReader.discover(out / split))
+        }
+
+    train_spk = split_speakers("train")
+    val_spk = split_speakers("val")
+    test_spk = split_speakers("test")
+    # train/val: only vox2 speakers
+    assert train_spk <= set(v2_ids) and val_spk <= set(v2_ids)
+    assert dm.num_speakers == len(v2_ids)
+    # test: exactly the trial-file vox1 speakers, from BOTH vox1 corpora
+    assert test_spk == set(trial_ids)
+    # the vox1-dev speaker absent from the trial file is dropped entirely
+    assert "id10002" not in train_spk | val_spk | test_spk
+    # every trial pair is scorable against the test shards
+    test_keys = {
+        s.key for s in ShardReader(ShardReader.discover(out / "test"))
+    }
+    for p in dm.test_evaluation_pairs():
+        assert p.sample1_id in test_keys and p.sample2_id in test_keys
+
+
+def test_multi_corpus_duplicate_key_rejected(tmp_path):
+    a, b = tmp_path / "a/wav", tmp_path / "b/wav"
+    _build_corpus_tree(a, ["id00001"])
+    _build_corpus_tree(b, ["id00001"])
+    dm = VoxCelebDataModule(
+        VoxCelebConfig(
+            data_dir=None,
+            shards_dir=tmp_path / "shards",
+            voxceleb1_dev_dir=a,
+            voxceleb2_dev_dir=b,
+        )
+    )
+    with pytest.raises(ValueError, match="multiple corpora"):
+        dm.prepare_data()
+
+
+def test_vox1_dev_trains_when_not_all_test(tmp_path):
+    """Without all_voxceleb1_is_test_set, vox1-dev non-trial speakers are
+    training data (use_voxceleb1_dev composition, voxceleb.py:1495)."""
+    from w2v2_speaker_tpu.data.shards import ShardReader
+
+    vox1_dev = tmp_path / "vox1/wav"
+    vox2_dev = tmp_path / "vox2/wav"
+    _build_corpus_tree(vox1_dev, ["id10000", "id10001"], n_yt=3, seed=1)
+    _build_corpus_tree(vox2_dev, ["id00000", "id00001"], n_yt=3, seed=2)
+    dm = VoxCelebDataModule(
+        VoxCelebConfig(
+            data_dir=None,
+            shards_dir=tmp_path / "shards",
+            voxceleb1_dev_dir=vox1_dev,
+            voxceleb2_dev_dir=vox2_dev,
+            all_voxceleb1_is_test_set=False,
+            train_val_ratio=0.7,
+            samples_per_shard=4,
+            eer_validation_pairs=4,
+        )
+    )
+    dm.prepare_data()
+    train_spk = {
+        s.key.split("/")[0]
+        for s in ShardReader(
+            ShardReader.discover(dm.cfg.shards_dir / "train")
+        )
+    }
+    assert train_spk == {"id10000", "id10001", "id00000", "id00001"}

@@ -237,3 +237,54 @@ def test_predict_cli(corpus, tmp_path):
         score, f1, f2 = line.split(" ")
         assert 0.0 <= float(score) <= 1.0
         assert f1.endswith(".wav")
+
+
+def test_voxceleb2_test_hard_protocol_end_to_end(tmp_path):
+    """The headline protocol composes from the CLI: train on a synthetic
+    vox2-dev corpus, test on all of a synthetic vox1 via a hard trial list
+    (data.module=voxceleb2_test_hard, reference voxceleb2_test_hard.yaml)."""
+    import run as run_cli
+    from tests.test_datamodule import _build_corpus_tree
+
+    vox1_dev = tmp_path / "vox1/wav"
+    vox1_test = tmp_path / "vox1_test/wav"
+    vox2_dev = tmp_path / "vox2/wav"
+    v1_ids = [f"id1{s:04d}" for s in range(3)]
+    v1t_ids = [f"id1{s:04d}" for s in range(3, 5)]
+    _build_corpus_tree(vox1_dev, v1_ids, seed=1)
+    _build_corpus_tree(vox1_test, v1t_ids, seed=2)
+    _build_corpus_tree(vox2_dev, [f"id0{s:04d}" for s in range(5)],
+                       n_yt=3, n_utt=3, seed=3)
+    trial_ids = v1_ids + v1t_ids
+    lines = []
+    for i, spk in enumerate(trial_ids):
+        lines.append(f"1 {spk}/yt0/00000.wav {spk}/yt1/00001.wav")
+        other = trial_ids[(i + 1) % len(trial_ids)]
+        lines.append(f"0 {spk}/yt0/00000.wav {other}/yt1/00000.wav")
+    trial = tmp_path / "list_test_hard2.txt"
+    trial.write_text("\n".join(lines) + "\n")
+
+    objective = run_cli.main(
+        [
+            "+experiment=speaker_dummy",
+            "data.module=voxceleb2_test_hard",
+            f"data.module.voxceleb1_dev_dir={vox1_dev}",
+            f"data.module.voxceleb1_test_dir={vox1_test}",
+            f"data.module.voxceleb2_dev_dir={vox2_dev}",
+            f"data.module.shards_dir={tmp_path / 'shards'}",
+            f"data.module.test_trial_path={trial}",
+            "data.module.train_val_ratio=0.7",
+            "data.module.eer_validation_pairs=8",
+            "data.shards.samples_per_shard=8",
+            "data.dataloader.batch_size=8",
+            "data.dataloader.test_batch_size=4",
+            "data.dataloader.test_pad_to_multiple=8000",
+            "data.pipeline.chunk_length_sec=1.0",
+            "trainer=debug_trainer",
+            "trainer.max_steps=6",
+            "trainer.val_check_interval=3",
+            f"trainer.checkpoint_dir={tmp_path / 'ckpt'}",
+            "seed=3",
+        ]
+    )
+    assert 0.0 <= objective <= 1.0

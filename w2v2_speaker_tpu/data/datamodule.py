@@ -50,9 +50,29 @@ __all__ = ["VoxCelebConfig", "VoxCelebDataModule", "Prefetcher"]
 
 @dataclass
 class VoxCelebConfig:
-    data_dir: pathlib.Path  # root with spk/yt/utt.wav files
-    shards_dir: pathlib.Path  # output for shard sets
+    # single-corpus root with spk/yt/utt.wav files; alternatively compose
+    # multiple corpora below (then data_dir may be None)
+    data_dir: Optional[pathlib.Path] = None
+    shards_dir: pathlib.Path = pathlib.Path("shards")  # output for shard sets
     test_trial_path: Optional[pathlib.Path] = None  # veri_test2.txt style
+    # -------- multi-corpus composition (the reference's headline protocol:
+    # train on VoxCeleb2-dev, test on all of VoxCeleb1 via the E/H trial
+    # lists — voxceleb.py:1442-1520 + config/data/module/
+    # voxceleb2_test_{everyone,hard}.yaml:7-24). Each root is a spk/yt/utt
+    # tree (or an archive dir, auto-extracted). `use_*` toggles inclusion;
+    # dev corpora feed train/val unless their speakers appear in the trial
+    # file; test corpora only ever contribute trial-file speakers;
+    # `all_voxceleb1_is_test_set` demotes voxceleb1-dev to a test-only
+    # source (its non-trial speakers are dropped, matching the reference).
+    voxceleb1_dev_dir: Optional[pathlib.Path] = None
+    voxceleb1_test_dir: Optional[pathlib.Path] = None
+    voxceleb2_dev_dir: Optional[pathlib.Path] = None
+    voxceleb2_test_dir: Optional[pathlib.Path] = None
+    use_voxceleb1_dev: bool = True
+    use_voxceleb1_test: bool = True
+    use_voxceleb2_dev: bool = True
+    use_voxceleb2_test: bool = False
+    all_voxceleb1_is_test_set: bool = False
     train_val_split_mode: str = "equal"  # 'equal' | 'different'
     train_val_ratio: float = 0.97  # fraction of data (or speakers) for train
     eer_validation_pairs: int = 1000
@@ -148,9 +168,38 @@ def _discover_wavs(root: pathlib.Path) -> List[str]:
 class VoxCelebDataModule:
     def __init__(self, cfg: VoxCelebConfig):
         self.cfg = cfg
-        self.cfg.data_dir = pathlib.Path(cfg.data_dir)
+        if cfg.data_dir is not None:
+            self.cfg.data_dir = pathlib.Path(cfg.data_dir)
+        for f in ("voxceleb1_dev_dir", "voxceleb1_test_dir",
+                  "voxceleb2_dev_dir", "voxceleb2_test_dir"):
+            v = getattr(cfg, f)
+            if v is not None:
+                setattr(cfg, f, pathlib.Path(v))
         self.cfg.shards_dir = pathlib.Path(cfg.shards_dir)
         self._meta: Optional[Dict] = None
+
+    def _corpus_sources(self) -> List[tuple]:
+        """(root, is_train_source) corpus list (voxceleb.py:1494-1499:
+        vc1-dev trains unless all_voxceleb1_is_test_set, vc2-dev trains,
+        test corpora never do). Single-corpus `data_dir` is one dev root."""
+        cfg = self.cfg
+        sources = []
+        if cfg.data_dir is not None:
+            sources.append((cfg.data_dir, True))
+        for root, use, is_train in (
+            (cfg.voxceleb1_dev_dir, cfg.use_voxceleb1_dev,
+             not cfg.all_voxceleb1_is_test_set),
+            (cfg.voxceleb2_dev_dir, cfg.use_voxceleb2_dev, True),
+            (cfg.voxceleb1_test_dir, cfg.use_voxceleb1_test, False),
+            (cfg.voxceleb2_test_dir, cfg.use_voxceleb2_test, False),
+        ):
+            if root is not None and use:
+                sources.append((root, is_train))
+        if not sources:
+            raise ValueError(
+                "no corpus configured: set data_dir or voxceleb*_dir"
+            )
+        return sources
 
     # ------------------------------------------------------------ prepare
 
@@ -162,22 +211,42 @@ class VoxCelebDataModule:
             return
         out.mkdir(parents=True, exist_ok=True)
 
-        keys = _discover_wavs(cfg.data_dir)
-        if not keys and cfg.data_dir.exists():
-            # raw distribution archives: concatenate parts + extract in
-            # place, then resolve the nested wav/ root (reference runs
-            # extract->split->shard from the zips, voxceleb.py:184-311)
-            from .extract import effective_audio_root, extract_archives
+        # discover per corpus source; keys stay 'spk/yt/utt' with a
+        # key -> corpus-root map for loading
+        key_root: Dict[str, pathlib.Path] = {}
+        trainable: Dict[str, bool] = {}
+        for root, is_train in self._corpus_sources():
+            keys_i = _discover_wavs(root)
+            if not keys_i and root.exists():
+                # raw distribution archives: concatenate parts + extract in
+                # place, then resolve the nested wav/ root (reference runs
+                # extract->split->shard from the zips, voxceleb.py:184-311)
+                from .extract import effective_audio_root, extract_archives
 
-            extract_archives(cfg.data_dir)
-            cfg.data_dir = effective_audio_root(cfg.data_dir)
-            keys = _discover_wavs(cfg.data_dir)
+                extract_archives(root)
+                root = effective_audio_root(root)
+                keys_i = _discover_wavs(root)
+            for k in keys_i:
+                if k in key_root:
+                    raise ValueError(
+                        f"sample {k} appears in multiple corpora "
+                        f"({key_root[k]} and {root})"
+                    )
+                key_root[k] = root
+                # a speaker reachable from any train source is trainable
+                trainable[k] = trainable.get(k, False) or is_train
+        keys = sorted(key_root)
         if cfg.limit_samples:
             keys = keys[: cfg.limit_samples]
         if not keys:
-            raise ValueError(f"no wav files under {cfg.data_dir}")
+            raise ValueError(
+                "no wav files under "
+                + ", ".join(str(r) for r, _ in self._corpus_sources())
+            )
 
-        # test split: every speaker appearing in the trial file
+        # test split: every speaker appearing in the trial file (from any
+        # corpus); non-trial speakers of test-only sources are dropped
+        # (voxceleb.py:1513-1517)
         test_keys: List[str] = []
         if cfg.test_trial_path is not None:
             trial_pairs = load_evaluation_pairs(cfg.test_trial_path)
@@ -185,14 +254,19 @@ class VoxCelebDataModule:
                 p.sample1_id.split("/")[0] for p in trial_pairs
             } | {p.sample2_id.split("/")[0] for p in trial_pairs}
             test_keys = [k for k in keys if k.split("/")[0] in test_speakers]
-            keys = [k for k in keys if k.split("/")[0] not in test_speakers]
+            keys = [
+                k for k in keys
+                if k.split("/")[0] not in test_speakers and trainable[k]
+            ]
+        else:
+            keys = [k for k in keys if trainable[k]]
 
         train_keys, val_keys = self._split_train_val(keys)
 
         # write shard sets
         def to_samples(key_list, idx_map):
             for k in key_list:
-                wav = load_raw_audio(cfg.data_dir / f"{k}.wav")
+                wav = load_raw_audio(key_root[k] / f"{k}.wav")
                 yield SpeakerSample(
                     key=k, wav=wav, ground_truth=idx_map.get(k.split("/")[0], -1)
                 )

@@ -57,13 +57,19 @@ from ..models.wav2vec2_speech import (
 )
 from ..models.xvector import XVectorConfig, XVectorModel
 from ..objectives import schedules
-from ..parallel.mesh import create_mesh, shard_batch, strip_host_fields
+from ..parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    replicated,
+    shard_batch,
+    strip_host_fields,
+)
 from ..train.checkpoint import CheckpointManager, load_params
 from ..train.paired_task import PairedSpeakerTask, paired_scores_to_metrics
 from ..train.speaker_task import SpeakerTask
 from ..train.speech_task import SpeechTask
 from ..train.state import TrainState, make_freeze_schedule_tx
-from ..train.steps import make_embed_fn, make_train_step
+from ..train.steps import make_embed_fn, make_logits_fn, make_train_step
 from .logging import MetricsLogger
 
 __all__ = ["run_train_eval", "build_model_and_task", "extract_embeddings"]
@@ -134,14 +140,25 @@ def build_data_module(cfg: Dict):
         p = cfg["data"]["pipeline"]
         s = cfg["data"]["shards"]
         dl = cfg["data"]["dataloader"]
+        def _opt_path(key):
+            return pathlib.Path(m[key]) if m.get(key) else None
+
         dm = VoxCelebDataModule(
             VoxCelebConfig(
-                data_dir=pathlib.Path(m["data_dir"]),
+                data_dir=_opt_path("data_dir"),
                 shards_dir=pathlib.Path(m["shards_dir"]),
-                test_trial_path=(
-                    pathlib.Path(m["test_trial_path"])
-                    if m.get("test_trial_path")
-                    else None
+                test_trial_path=_opt_path("test_trial_path"),
+                # multi-corpus composition (reference voxceleb2_test_*.yaml)
+                voxceleb1_dev_dir=_opt_path("voxceleb1_dev_dir"),
+                voxceleb1_test_dir=_opt_path("voxceleb1_test_dir"),
+                voxceleb2_dev_dir=_opt_path("voxceleb2_dev_dir"),
+                voxceleb2_test_dir=_opt_path("voxceleb2_test_dir"),
+                use_voxceleb1_dev=m.get("use_voxceleb1_dev", True),
+                use_voxceleb1_test=m.get("use_voxceleb1_test", True),
+                use_voxceleb2_dev=m.get("use_voxceleb2_dev", True),
+                use_voxceleb2_test=m.get("use_voxceleb2_test", False),
+                all_voxceleb1_is_test_set=m.get(
+                    "all_voxceleb1_is_test_set", False
                 ),
                 train_val_split_mode=m["train_val_split_mode"],
                 train_val_ratio=m["train_val_ratio"],
@@ -1135,10 +1152,15 @@ def _run_paired(cfg, dm, task: PairedSpeakerTask, mesh, logger) -> float:
 
     example = strip_host_fields(next(iter(train_iter())))
     state = _init_state(cfg, task, example)
+    # val/test scoring shards the trial batch over the mesh data axis like
+    # make_eval_step (params replicated) — multi-chip eval matches the
+    # training-side sharding contract instead of running on one device
     score_fn = jax.jit(
         lambda state, batch: task.score_fn(
             state.params, state.model_state, batch
-        )
+        ),
+        in_shardings=(replicated(mesh), batch_sharding(mesh)),
+        out_shardings=batch_sharding(mesh),
     )
 
     def score_pairs(state, pairs, split):
@@ -1210,20 +1232,38 @@ def _run_speech(cfg, dm, task: SpeechTask, mesh, logger) -> float:
     state = _init_state(cfg, task, example)
     limit_val = cfg["trainer"].get("limit_val_batches")
 
+    # jitted + mesh-sharded eval forward: one device program per bucket
+    # shape (pad_to_multiple time buckets x fixed row count) instead of the
+    # reference's eager per-batch dispatch (speech_recognition_module.py:
+    # 178-231); greedy decode stays host-side
+    jit_logits = make_logits_fn(task, mesh)
+    n_data = mesh.shape["data"]
+    eval_bs = int(cfg["data"]["dataloader"].get("eval_batch_size", 8))
+    eval_rows = -(-eval_bs // n_data) * n_data
+
+    def _wer(state, split, limit=None):
+        batches = []
+        for i, b in enumerate(dm.eval_batches(split, batch_size=eval_bs)):
+            if limit and i >= limit:
+                break
+            batches.append(b)
+        if not batches:
+            return None
+        return task.evaluate_wer(
+            state.params,
+            state.model_state,
+            batches,
+            logits_fn=lambda feats, mask: jit_logits(state, feats, mask),
+            pad_rows_to=eval_rows,
+        )["wer"]
+
     def validate(state):
         metrics = {}
         for split in ("val_clean", "val_other"):
             if split not in dm.cfg.split_dirs:
                 continue
-            batches = []
-            for i, b in enumerate(dm.eval_batches(split)):
-                if limit_val and i >= limit_val:
-                    break
-                batches.append(b)
-            if batches:
-                wer = task.evaluate_wer(
-                    state.params, state.model_state, batches
-                )["wer"]
+            wer = _wer(state, split, limit=limit_val)
+            if wer is not None:
                 metrics[f"val_wer_{split.split('_')[1]}"] = wer
         metrics["val_wer"] = metrics.get(
             "val_wer_clean", next(iter(metrics.values()), 1.0)
@@ -1244,9 +1284,9 @@ def _run_speech(cfg, dm, task: SpeechTask, mesh, logger) -> float:
     results = {}
     for split in ("test_clean", "test_other"):
         if split in dm.cfg.split_dirs:
-            results[split] = task.evaluate_wer(
-                state.params, state.model_state, list(dm.eval_batches(split))
-            )["wer"]
+            wer = _wer(state, split)
+            if wer is not None:
+                results[split] = wer
     if results:
         logger.log_eval(
             int(state.step),

@@ -93,31 +93,73 @@ class SpeechTask:
 
     # ------------------------------------------------------------ decoding
 
+    def logits_fn(self, params, model_state, features, mask):
+        """Device-side eval forward -> (logits [B, T', V], lengths [B]).
+
+        Pure function of arrays so it can be jitted + mesh-sharded once per
+        bucket shape (the reference evaluates eagerly per batch,
+        speech_recognition_module.py:178-231 — pathological through a
+        remote-TPU transport)."""
+        variables = {"params": params, **model_state}
+        out = self.model.apply(variables, features, mask, train=False)
+        logits = out["logits"]
+        fm = out.get("frame_mask")
+        if fm is not None:
+            lengths = fm.sum(axis=-1).astype(jnp.int32)
+        else:
+            lengths = jnp.full((logits.shape[0],), logits.shape[1], jnp.int32)
+        return logits, lengths
+
     def transcribe(
         self, params, model_state, batch
     ) -> List[str]:
-        """Greedy CTC transcription of a batch (host-side decode)."""
-        variables = {"params": params, **model_state}
-        out = self.model.apply(
-            variables, batch["features"], batch.get("mask"), train=False
+        """Greedy CTC transcription of a batch (eager reference path; the
+        runtime uses evaluate_wer with a jitted logits_fn instead)."""
+        logits, lengths = self.logits_fn(
+            params, model_state, batch["features"], batch.get("mask")
         )
-        logits = np.asarray(out["logits"])
-        fm = out.get("frame_mask")
-        lengths = (
-            np.asarray(fm).sum(axis=-1)
-            if fm is not None
-            else np.full(logits.shape[0], logits.shape[1])
+        return self.tokenizer.decode_batch(
+            np.asarray(logits), np.asarray(lengths)
         )
-        return self.tokenizer.decode_batch(logits, lengths)
 
     def evaluate_wer(
-        self, params, model_state, batches
+        self, params, model_state, batches, logits_fn=None,
+        pad_rows_to: int = 0,
     ) -> Dict[str, float]:
-        """Corpus WER over an iterable of batches carrying
-        'transcriptions'."""
+        """Corpus WER over an iterable of batches carrying 'transcriptions'.
+
+        With ``logits_fn`` (a possibly jitted/sharded (features, mask) ->
+        (logits, lengths) closure over the train state), the device program
+        is issued once per bucket shape; greedy argmax decode stays host-side
+        (reference speech_recognition_module.py:233-248). ``pad_rows_to``
+        pads ragged trailing batches up to a fixed row count (with all-valid
+        masks over silence) so bucketed shapes stay static and divisible by
+        the mesh data axis; padded rows are dropped before decoding."""
         hyps: List[str] = []
         refs: List[str] = []
         for batch in batches:
-            hyps.extend(self.transcribe(params, model_state, batch))
+            if logits_fn is None:
+                hyps.extend(self.transcribe(params, model_state, batch))
+            else:
+                feats = batch["features"]
+                mask = batch.get("mask")
+                n = feats.shape[0]
+                if pad_rows_to and n < pad_rows_to:
+                    pad = pad_rows_to - n
+                    feats = np.concatenate(
+                        [feats, np.zeros((pad,) + feats.shape[1:],
+                                         feats.dtype)]
+                    )
+                    if mask is not None:
+                        mask = np.concatenate(
+                            [mask, np.ones((pad,) + mask.shape[1:],
+                                           mask.dtype)]
+                        )
+                logits, lengths = logits_fn(feats, mask)
+                hyps.extend(
+                    self.tokenizer.decode_batch(
+                        np.asarray(logits)[:n], np.asarray(lengths)[:n]
+                    )
+                )
             refs.extend(batch["transcriptions"])
         return {"wer": calculate_wer(hyps, refs)}
