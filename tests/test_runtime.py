@@ -288,3 +288,106 @@ def test_voxceleb2_test_hard_protocol_end_to_end(tmp_path):
         ]
     )
     assert 0.0 <= objective <= 1.0
+
+
+def test_pairs_module_preset_bundles_shard_settings():
+    """data.module=voxceleb1_pairs is a '# @package _global_' preset: it
+    must swap the module AND fix the shard knobs the pair recipes need
+    (reference voxceleb1_pairs.yaml:33-42)."""
+    cfg = load_config(
+        CONFIG_DIR, "train_eval", ["data.module=voxceleb1_pairs"]
+    )
+    m = cfg["data"]["module"]
+    assert m["train_val_split_mode"] == "different"
+    assert m["num_val_speakers"] == 41
+    assert "voxceleb1_shards_pairs" in m["shards_dir"]
+    assert cfg["data"]["shards"]["sequential_same_speaker_samples"] == 4
+    assert cfg["data"]["shards"]["min_unique_speakers_per_shard"] == 50
+    # CLI value overrides still beat the preset
+    cfg = load_config(
+        CONFIG_DIR, "train_eval",
+        ["data.module=voxceleb2_triplets",
+         "data.shards.sequential_same_speaker_samples=8"],
+    )
+    assert cfg["data"]["shards"]["sequential_same_speaker_samples"] == 8
+
+
+def test_all_pipeline_presets_compose():
+    """Every reference pipeline preset name must exist and compose
+    (reference config/data/pipeline/*, 8 presets)."""
+    for preset in [
+        "wav2vec_base_pipeline",
+        "wav2vec_short_seq_pipeline",
+        "wav2vec_pair_pipeline",
+        "wav2vec_full_seq_pipeline",
+        "xvector_pipeline",
+        "xvector_all_augment_pipeline",
+        "xvector_dropout_augment_pipeline",
+        "xvector_rirs_augment",
+    ]:
+        cfg = load_config(
+            CONFIG_DIR, "train_eval", [f"data.pipeline={preset}"]
+        )
+        assert "chunk_strategy" in cfg["data"]["pipeline"], preset
+    cfg = load_config(
+        CONFIG_DIR, "train_eval",
+        ["data.pipeline=wav2vec_full_seq_pipeline"],
+    )
+    assert cfg["data"]["pipeline"]["chunk_length_sec"] is None
+
+
+def test_all_augment_pipeline_builds_full_chain():
+    """xvector_all_augment_pipeline must build the reference study's five
+    augmentations in order with stack/yield semantics
+    (xvector_all_augment_pipeline.yaml:22-57)."""
+    from w2v2_speaker_tpu.data.augment import (
+        ChoiceRandomNoiseAugment,
+        ChoiceSpeedAugment,
+        FrequencyDropoutAugment,
+        ReverbAugment,
+        TimeDropoutAugment,
+    )
+    from w2v2_speaker_tpu.runtime.experiment import build_augmenter
+
+    cfg = load_config(
+        CONFIG_DIR, "train_eval",
+        ["data.pipeline=xvector_all_augment_pipeline"],
+    )
+    aug = build_augmenter(cfg["data"]["pipeline"], seed=0)
+    assert [type(a) for a in aug.augmenters] == [
+        TimeDropoutAugment,
+        FrequencyDropoutAugment,
+        ChoiceSpeedAugment,
+        ReverbAugment,
+        ChoiceRandomNoiseAugment,
+    ]
+    assert aug.stack is False
+    assert aug.yield_intermediate is True
+    assert aug.yield_unaugmented is True
+    # a sample fans out into unaugmented + one per augmentation
+    from w2v2_speaker_tpu.data.samples import SpeakerSample
+
+    wav = np.random.default_rng(0).normal(0, 0.1, 16000).astype(np.float32)
+    outs = aug(SpeakerSample(key="a/b/c", wav=wav, ground_truth=0))
+    assert len(outs) == 6
+
+
+def test_spec_augment_time_domain_reachable_from_config():
+    from w2v2_speaker_tpu.data.augment import SpecAugmentTimeDomain
+    from w2v2_speaker_tpu.runtime.experiment import build_augmenter
+
+    aug = build_augmenter(
+        {"augment": {"enabled": True,
+                     "spec_augment_speeds": [95, 100, 105]}},
+        seed=0,
+    )
+    assert [type(a) for a in aug.augmenters] == [SpecAugmentTimeDomain]
+
+
+def test_full_seq_chunk_selector_passthrough():
+    from w2v2_speaker_tpu.data.chunks import ChunkSelector
+
+    sel = ChunkSelector("none", None)
+    wav = np.arange(12345, dtype=np.float32)
+    (out,) = sel(wav)
+    assert out is wav

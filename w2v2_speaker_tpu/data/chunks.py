@@ -23,17 +23,27 @@ class SelectionStrategy(str, enum.Enum):
     random = "random"
     random_contiguous = "random_contiguous"
     contiguous = "contiguous"
+    # pass the full utterance through unchanged (the reference's full-seq
+    # pipelines simply omit the selector, wav2vec_full_seq_pipeline.yaml)
+    none = "none"
 
 
 class ChunkSelector:
     def __init__(
         self,
         strategy: SelectionStrategy | str,
-        chunk_length_sec: float,
+        chunk_length_sec: Optional[float],
         sample_rate: int = 16000,
     ):
-        self.strategy = SelectionStrategy(strategy)
-        self.chunk_size = round(sample_rate * chunk_length_sec)
+        self.strategy = (
+            SelectionStrategy.none
+            if chunk_length_sec is None
+            else SelectionStrategy(strategy)
+        )
+        self.chunk_size = (
+            0 if chunk_length_sec is None
+            else round(sample_rate * chunk_length_sec)
+        )
         self.sample_rate = sample_rate
 
     def __call__(
@@ -45,6 +55,8 @@ class ChunkSelector:
         c = self.chunk_size
         s = self.strategy
 
+        if s == SelectionStrategy.none:
+            return [wav]
         if s == SelectionStrategy.start:
             return [wav[..., :c]]
         if s == SelectionStrategy.end:

@@ -75,6 +75,9 @@ class VoxCelebConfig:
     all_voxceleb1_is_test_set: bool = False
     train_val_split_mode: str = "equal"  # 'equal' | 'different'
     train_val_ratio: float = 0.97  # fraction of data (or speakers) for train
+    # 'different' mode: hold out exactly this many val speakers (reference
+    # num_val_speakers, voxceleb.py:1527-1579); <=0 falls back to the ratio
+    num_val_speakers: int = 0
     eer_validation_pairs: int = 1000
     samples_per_shard: int = 100
     sequential_same_speaker_samples: int = 1
@@ -83,7 +86,7 @@ class VoxCelebConfig:
     shuffle_shards: bool = True
     queue_size: int = 256
     batch_size: int = 64
-    chunk_length_sec: float = 3.0
+    chunk_length_sec: Optional[float] = 3.0  # None = full sequences
     chunk_strategy: str = "random"
     normalize_input: bool = True
     augmenter: Optional[Augmenter] = None
@@ -334,10 +337,14 @@ class VoxCelebDataModule:
         cfg = self.cfg
         rng = np.random.default_rng(cfg.seed)
         if cfg.train_val_split_mode == "different":
-            # held-out speakers (voxceleb.py:1527-1579)
+            # held-out speakers (voxceleb.py:1527-1579); either an exact
+            # held-out count (num_val_speakers) or a ratio
             speakers = sorted({k.split("/")[0] for k in keys})
             rng.shuffle(speakers)
-            n_train = max(1, round(len(speakers) * cfg.train_val_ratio))
+            if cfg.num_val_speakers and cfg.num_val_speakers > 0:
+                n_train = max(1, len(speakers) - cfg.num_val_speakers)
+            else:
+                n_train = max(1, round(len(speakers) * cfg.train_val_ratio))
             train_spk = set(speakers[:n_train])
             train = [k for k in keys if k.split("/")[0] in train_spk]
             val = [k for k in keys if k.split("/")[0] not in train_spk]

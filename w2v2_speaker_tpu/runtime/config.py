@@ -91,12 +91,17 @@ def _parse_value(text: str) -> Any:
 
 def _load_group(
     config_dir: pathlib.Path, group: str, option: str
-) -> Dict:
+) -> tuple:
+    """-> (content, is_global_package). A group file marked
+    `# @package _global_` merges into the config root instead of its group
+    node (Hydra semantics) — used by presets that bundle settings across
+    groups, e.g. pairs/triplets module presets also fixing shard knobs
+    (reference voxceleb1_pairs.yaml:41-42)."""
     path = config_dir / group / f"{option}.yaml"
     data = _read_yaml(path)
-    data.pop("__global_package__", None)
+    is_global = bool(data.pop("__global_package__", False))
     data.pop("defaults", None)
-    return data
+    return data, is_global
 
 
 def _apply_defaults(
@@ -119,8 +124,11 @@ def _apply_defaults(
         if option is None:
             continue
         group_choices[group] = str(option)
-        loaded = _load_group(config_dir, group, str(option))
-        _set_path(cfg, group, loaded)
+        loaded, is_global = _load_group(config_dir, group, str(option))
+        if is_global:
+            cfg.update(_deep_merge(cfg, loaded))
+        else:
+            _set_path(cfg, group, loaded)
 
 
 # ------------------------------------------------------------- interpolation
@@ -245,9 +253,12 @@ def apply_overrides(
 
         # group swap: the key names a config group directory
         if (config_dir / norm).is_dir():
-            loaded = _load_group(config_dir, norm, raw.strip())
+            loaded, is_global = _load_group(config_dir, norm, raw.strip())
             group_choices[norm] = raw.strip()
-            _set_path(cfg, norm, loaded)
+            if is_global:
+                cfg = _deep_merge(cfg, loaded)
+            else:
+                _set_path(cfg, norm, loaded)
             continue
 
         _set_path(cfg, key, _parse_value(raw))

@@ -24,7 +24,10 @@ from ..data.augment import (
     Augmenter,
     ChoiceRandomNoiseAugment,
     ChoiceRirsNoiseAugment,
+    ChoiceSpeedAugment,
+    FrequencyDropoutAugment,
     ReverbAugment,
+    SpecAugmentTimeDomain,
     TimeDropoutAugment,
     UniformSpeedAugment,
 )
@@ -90,10 +93,36 @@ TINY_W2V2 = Wav2Vec2Config(  # for debug/e2e-test runs
 # ------------------------------------------------------------------ builders
 
 def build_augmenter(pipeline_cfg: Dict, seed: int) -> Optional[Augmenter]:
+    """Full augmentation config surface of the reference's pipeline presets
+    (xvector_all_augment_pipeline.yaml:22-57): time dropout, frequency
+    dropout, uniform/choice/SpecAugment-time-domain speed perturbation,
+    reverb, uniform-noise or RIRS noise — chained in the reference study's
+    order — plus the Augmenter's stack/yield-intermediate/yield-unaugmented
+    semantics (augment.py:78-142)."""
     aug = pipeline_cfg.get("augment") or {}
     if not aug.get("enabled"):
         return None
     chain = []
+    if aug.get("time_dropout"):
+        td = aug["time_dropout"]
+        chain.append(
+            TimeDropoutAugment(
+                max_dropout_length_seconds=td.get("max_seconds", 0.25),
+                min_drop_count=td.get("min_count", 0),
+                max_drop_count=td.get("max_count", 5),
+                seed=seed + 2,
+            )
+        )
+    if aug.get("freq_dropout"):
+        fd = aug["freq_dropout"]
+        chain.append(
+            FrequencyDropoutAugment(
+                min_drop_count=fd.get("min_count", 0),
+                max_drop_count=fd.get("max_count", 5),
+                band_scaling=fd.get("band_scaling", 1.0),
+                seed=seed + 5,
+            )
+        )
     if aug.get("speed"):
         chain.append(
             UniformSpeedAugment(
@@ -102,21 +131,35 @@ def build_augmenter(pipeline_cfg: Dict, seed: int) -> Optional[Augmenter]:
                 seed=seed + 1,
             )
         )
-    if aug.get("time_dropout"):
-        td = aug["time_dropout"]
+    if aug.get("speed_choices"):
         chain.append(
-            TimeDropoutAugment(
-                max_dropout_length_seconds=td["max_seconds"],
-                min_drop_count=td["min_count"],
-                max_drop_count=td["max_count"],
-                seed=seed + 2,
+            ChoiceSpeedAugment(
+                possible_speed_factors=aug["speed_choices"], seed=seed + 6
+            )
+        )
+    if aug.get("spec_augment_speeds"):
+        chain.append(
+            SpecAugmentTimeDomain(
+                speeds=aug["spec_augment_speeds"], seed=seed + 7
+            )
+        )
+    if aug.get("reverb"):
+        rv = aug["reverb"] if isinstance(aug["reverb"], dict) else {}
+        chain.append(
+            ReverbAugment(
+                room_scale_min=rv.get("room_scale_min", 0),
+                room_scale_max=rv.get("room_scale_max", 100),
+                seed=seed + 4,
             )
         )
     if aug.get("rirs_shards"):
         chain.append(
             ChoiceRirsNoiseAugment(
                 aug["rirs_shards"],
-                snr_choices=aug.get("noise_snr") or [5, 10, 15, 20],
+                snr_choices=(
+                    aug.get("rirs_snr") or aug.get("noise_snr")
+                    or [5, 10, 15, 20]
+                ),
                 seed=seed + 3,
             )
         )
@@ -126,12 +169,16 @@ def build_augmenter(pipeline_cfg: Dict, seed: int) -> Optional[Augmenter]:
                 snr_choices=aug["noise_snr"], seed=seed + 3
             )
         )
-    if aug.get("reverb"):
-        chain.append(ReverbAugment(seed=seed + 4))
     if not chain:
         return None
-    return Augmenter(chain, stack_augmentations=True,
-                     yield_intermediate_augmentations=False)
+    return Augmenter(
+        chain,
+        stack_augmentations=aug.get("stack", True),
+        yield_intermediate_augmentations=aug.get(
+            "yield_intermediate", False
+        ),
+        yield_unaugmented=aug.get("yield_unaugmented", False),
+    )
 
 
 def build_data_module(cfg: Dict):
@@ -162,6 +209,7 @@ def build_data_module(cfg: Dict):
                 ),
                 train_val_split_mode=m["train_val_split_mode"],
                 train_val_ratio=m["train_val_ratio"],
+                num_val_speakers=m.get("num_val_speakers") or 0,
                 eer_validation_pairs=m["eer_validation_pairs"],
                 samples_per_shard=s["samples_per_shard"],
                 sequential_same_speaker_samples=s[
