@@ -93,3 +93,79 @@ for (t_in, c_in, c_out, k, s) in LAYERS:
         f"{gf:6.1f} GF  conv {ms_ref:7.3f} ms ({gf/ms_ref:6.1f} TF/s)  "
         f"taps {ms_tap:7.3f} ms ({gf/ms_tap:6.1f} TF/s)"
     )
+
+
+# ---------------------------------------------------------------- phase GEMM
+# Strided conv as phase-decomposed matmuls on contiguous reshapes (no
+# strided slicing, unlike conv_taps above):
+#   k=2, s=2:  y = reshape(x, [B, T/2, 2C]) @ W            (pure GEMM)
+#   k=3, s=2:  y = x2 @ W[0:2] + shift(x2)[..., :C] @ W[2] (GEMM + rank-C fix)
+#   k=10,s=5:  y = concat(x5[t], x5[t+1]) @ W              (K=10 GEMM)
+def conv_phase(x, w, s):
+    k, c_in, c_out = w.shape
+    b, t, _ = x.shape
+    if k == s:  # k=2,s=2 and k=10,s=5-with-pad-below fall here after regroup
+        t_use = (t // s) * s
+        xg = x[:, :t_use].reshape(b, t_use // s, s * c_in)
+        return xg @ w.reshape(k * c_in, c_out)
+    if k == 3 and s == 2:
+        t_out = (t - k) // s + 1
+        t_use = (t // 2) * 2
+        x2 = x[:, :t_use].reshape(b, t_use // 2, 2 * c_in)
+        main = x2[:, :t_out] @ w[:2].reshape(2 * c_in, c_out)
+        fix = x2[:, 1 : t_out + 1, :c_in] @ w[2]
+        return main + fix
+    if k == 10 and s == 5:
+        t_out = (t - k) // s + 1
+        x5 = x[:, : (t // 5) * 5].reshape(b, t // 5, 5 * c_in)
+        pair = jnp.concatenate([x5[:, :t_out], x5[:, 1 : t_out + 1]], -1)
+        return pair @ w.reshape(10 * c_in, c_out)
+    raise ValueError((k, s))
+
+
+def _run_phase_section():
+    print("\nphase-GEMM formulation vs XLA conv:")
+    for (t_in, c_in, c_out, k, s) in LAYERS:
+        x = jnp.asarray(
+            rng.normal(size=(B, t_in, c_in)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        w = jnp.asarray(
+            rng.normal(size=(k, c_in, c_out)).astype(np.float32) * 0.05
+        ).astype(jnp.bfloat16)
+        t_out = (t_in - k) // s + 1
+        gf = B * t_out * k * c_in * c_out * 2 / 1e9
+
+        # numerical equivalence first (bf16 tolerance)
+        ref = conv_ref(x[:1], w, s)
+        got = conv_phase(x[:1], w, s)
+        np.testing.assert_allclose(
+            np.asarray(got[:, : ref.shape[1]], np.float32),
+            np.asarray(ref, np.float32),
+            rtol=0.05, atol=0.5,
+        )
+
+        @jax.jit
+        def run_phase(m, x, w, s=s):
+            def body(i, carry):
+                x_, acc = carry
+                y = conv_phase(x_, w, s)
+                return (
+                    x_ * (1 + 1e-20 * y.astype(jnp.float32).sum()).astype(
+                        x_.dtype
+                    ),
+                    acc + y.astype(jnp.float32).sum(),
+                )
+
+            return jax.lax.fori_loop(0, m, body, (x, 0.0))[1]
+
+        ms = timed(run_phase, x, w)
+        print(
+            f"T={t_in:6d} C={c_in:4d}->{c_out} k={k:2d} s={s}  "
+            f"{gf:6.1f} GF  phase {ms:7.3f} ms ({gf/ms:6.1f} TF/s)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__" or True:
+    if "--phase" in sys.argv:
+        _run_phase_section()
