@@ -61,7 +61,7 @@ def conv_taps(x, w, s):
     return out
 
 
-for (t_in, c_in, c_out, k, s) in LAYERS:
+for (t_in, c_in, c_out, k, s) in LAYERS if "--phase-only" not in sys.argv else []:
     x = jnp.asarray(rng.normal(size=(B, t_in, c_in)).astype(np.float32)
                     ).astype(jnp.bfloat16)
     w = jnp.asarray(rng.normal(size=(k, c_in, c_out)).astype(np.float32) * 0.05
@@ -110,8 +110,11 @@ def conv_phase(x, w, s):
         return xg @ w.reshape(k * c_in, c_out)
     if k == 3 and s == 2:
         t_out = (t - k) // s + 1
-        t_use = (t // 2) * 2
-        x2 = x[:, :t_use].reshape(b, t_use // 2, 2 * c_in)
+        # pad so pair frame t_out (holding x[2*t_out]) exists; XLA usually
+        # fuses the pad into the producer
+        t_pad = 2 * t_out + 2
+        xp = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+        x2 = xp.reshape(b, t_pad // 2, 2 * c_in)
         main = x2[:, :t_out] @ w[:2].reshape(2 * c_in, c_out)
         fix = x2[:, 1 : t_out + 1, :c_in] @ w[2]
         return main + fix
@@ -167,5 +170,5 @@ def _run_phase_section():
 
 
 if __name__ == "__main__" or True:
-    if "--phase" in sys.argv:
+    if "--phase" in sys.argv or "--phase-only" in sys.argv:
         _run_phase_section()
