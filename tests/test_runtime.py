@@ -391,3 +391,26 @@ def test_full_seq_chunk_selector_passthrough():
     wav = np.arange(12345, dtype=np.float32)
     (out,) = sel(wav)
     assert out is wav
+
+
+def test_xvector_augment_study_composes_and_trains(corpus, tmp_path):
+    """The reference's x-vector augmentation-study composition
+    (+experiment=speaker_xvector data/pipeline=xvector_all_augment_pipeline)
+    runs end-to-end: contiguous chunk fan-out + non-stacked augmenter with
+    yield_unaugmented/intermediate semantics feeding real training."""
+    import run as run_cli
+
+    objective = run_cli.main(
+        _common_overrides(
+            corpus, tmp_path,
+            [
+                "+experiment=speaker_xvector",
+                "data.pipeline=xvector_all_augment_pipeline",
+                "data.pipeline.chunk_length_sec=1.0",
+                "trainer=debug_trainer",
+                "trainer.max_steps=4",
+                "trainer.val_check_interval=2",
+            ],
+        )
+    )
+    assert 0.0 <= objective <= 1.0
