@@ -330,3 +330,28 @@ def test_vox1_dev_trains_when_not_all_test(tmp_path):
         )
     }
     assert train_spk == {"id10000", "id10001", "id00000", "id00001"}
+
+
+def test_has_split_flags_gate_shard_writing(tmp_path):
+    """has_train/has_val/has_test (reference voxceleb2_test_hard.yaml:13-16)
+    gate which splits are written; disabled splits leave no shard dir."""
+    data_dir = tmp_path / "wav"
+    _build_dataset(data_dir, n_spk=4, test_spk=2)
+    dm = VoxCelebDataModule(
+        VoxCelebConfig(
+            data_dir=data_dir,
+            shards_dir=tmp_path / "shards",
+            test_trial_path=tmp_path / "trials.txt",
+            train_val_ratio=0.7,
+            samples_per_shard=4,
+            eer_validation_pairs=4,
+            has_val=False,
+            has_test=False,
+        )
+    )
+    dm.prepare_data()
+    out = dm.cfg.shards_dir
+    assert (out / "train").exists()
+    assert not (out / "val").exists()
+    assert not (out / "test").exists()
+    assert not (out / "val_pairs.txt").exists()

@@ -73,6 +73,12 @@ class VoxCelebConfig:
     use_voxceleb2_dev: bool = True
     use_voxceleb2_test: bool = False
     all_voxceleb1_is_test_set: bool = False
+    # which splits to shard (reference has_train/has_val/has_test,
+    # voxceleb2_test_hard.yaml:13-16): the split logic always runs, but
+    # disabled splits are not written (e.g. eval-only shard sets)
+    has_train: bool = True
+    has_val: bool = True
+    has_test: bool = True
     train_val_split_mode: str = "equal"  # 'equal' | 'different'
     train_val_ratio: float = 0.97  # fraction of data (or speakers) for train
     # 'different' mode: hold out exactly this many val speakers (reference
@@ -278,9 +284,9 @@ class VoxCelebDataModule:
         idx_map = {s: i for i, s in enumerate(train_speakers)}
 
         for split, split_keys in (
-            ("train", train_keys),
-            ("val", val_keys),
-            ("test", test_keys),
+            ("train", train_keys if cfg.has_train else []),
+            ("val", val_keys if cfg.has_val else []),
+            ("test", test_keys if cfg.has_test else []),
         ):
             if not split_keys:
                 continue
@@ -307,7 +313,7 @@ class VoxCelebDataModule:
         self._assert_split_consistency(out)
 
         # validation pairs
-        if val_keys:
+        if val_keys and cfg.has_val:
             per_speaker: Dict[str, List[str]] = {}
             for k in val_keys:
                 per_speaker.setdefault(k.split("/")[0], []).append(k)

@@ -207,6 +207,9 @@ def build_data_module(cfg: Dict):
                 all_voxceleb1_is_test_set=m.get(
                     "all_voxceleb1_is_test_set", False
                 ),
+                has_train=m.get("has_train", True),
+                has_val=m.get("has_val", True),
+                has_test=m.get("has_test", True),
                 train_val_split_mode=m["train_val_split_mode"],
                 train_val_ratio=m["train_val_ratio"],
                 num_val_speakers=m.get("num_val_speakers") or 0,
