@@ -329,3 +329,41 @@ def test_jitted_sharded_wer_matches_eager(speech_setup):
             tok.decode_batch(np.asarray(logits)[:n], np.asarray(lengths)[:n])
         )
     assert jit_hyps == eager_hyps
+
+
+def test_wav2vec2_960h_tokenizer_checkpoint_order():
+    """The fixed HF letter vocabulary must match facebook/wav2vec2-base-960h
+    index-for-index (the pretrained CTC lm_head contract, reference
+    config/tokenizer/default.yaml)."""
+    tok = CharTokenizer.wav2vec2_base_960h()
+    assert tok.vocab_size == 32
+    assert tok.blank_id == 0 and tok.vocab["<pad>"] == 0
+    # spot-check the HF ordering (frequency-ordered letters)
+    for t, i in [("|", 4), ("E", 5), ("T", 6), ("A", 7), ("'", 27),
+                 ("Z", 31), ("<unk>", 3), ("<s>", 1), ("</s>", 2)]:
+        assert tok.vocab[t] == i
+    # round trip; BOS/EOS tokens never leak into decoded text
+    ids = tok.encode("hello world")
+    assert tok.decode(list(ids), ctc=False) == "HELLO WORLD"
+    assert tok.decode([1, 11, 2], ctc=False) == "H"
+
+
+def test_librispeech_fixed_tokenizer_config(tmp_path):
+    """data module honors tokenizer=wav2vec2_base_960h: fixed 32-token vocab
+    regardless of the corpus characters, consistency check still passes for
+    plain-letter transcripts."""
+    from tests.test_runtime_speech import _build_librispeech
+
+    raw = tmp_path / "ls"
+    _build_librispeech(raw)
+    dm = LibriSpeechDataModule(
+        LibriSpeechConfig(
+            split_dirs={"train": raw},
+            shards_dir=tmp_path / "shards",
+            tokenizer_name="wav2vec2_base_960h",
+        )
+    )
+    dm.prepare_data()
+    assert dm.tokenizer.vocab_size == 32
+    assert dm.tokenizer.vocab["E"] == 5
+    dm.vocabulary_consistency_check()

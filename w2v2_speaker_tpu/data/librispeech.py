@@ -133,6 +133,10 @@ class LibriSpeechConfig:
     max_batch_size: Optional[int] = None
     normalize_input: bool = False
     pad_to_multiple: int = 1600  # 0.1 s buckets for static shapes
+    # 'corpus_char' derives the vocab from the training transcripts
+    # (reference librispeech.py:238-260); 'wav2vec2_base_960h' uses the
+    # fixed HF letter vocab in checkpoint order (reference tokenizer group)
+    tokenizer_name: str = "corpus_char"
     seed: int = 0
     host_id: int = 0
     num_hosts: int = 1
@@ -174,9 +178,15 @@ class LibriSpeechDataModule:
     @property
     def tokenizer(self) -> CharTokenizer:
         if self._tokenizer is None:
-            self._tokenizer = CharTokenizer.load(
-                self.cfg.shards_dir / "vocab.json"
-            )
+            if self.cfg.tokenizer_name == "wav2vec2_base_960h":
+                # fixed HF letter vocabulary in checkpoint order (reference
+                # config/tokenizer/default.yaml downloads exactly this);
+                # corpus-vocab consistency is still checked on demand
+                self._tokenizer = CharTokenizer.wav2vec2_base_960h()
+            else:
+                self._tokenizer = CharTokenizer.load(
+                    self.cfg.shards_dir / "vocab.json"
+                )
         return self._tokenizer
 
     def vocabulary_consistency_check(self) -> None:

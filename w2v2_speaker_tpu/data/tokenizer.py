@@ -23,6 +23,18 @@ BLANK = "<pad>"  # doubles as the CTC blank, index 0
 UNK = "<unk>"
 WORD_DELIM = "|"
 
+# canonical facebook/wav2vec2-base-960h letter vocabulary (the HF
+# vocab.json the reference's tokenizer downloads,
+# config/tokenizer/default.yaml): index order matches the pretrained CTC
+# lm_head exactly, so ported checkpoints decode without remapping
+_W2V2_960H_VOCAB = {
+    "<pad>": 0, "<s>": 1, "</s>": 2, "<unk>": 3, "|": 4, "E": 5, "T": 6,
+    "A": 7, "O": 8, "N": 9, "I": 10, "H": 11, "S": 12, "R": 13, "D": 14,
+    "L": 15, "U": 16, "M": 17, "W": 18, "C": 19, "F": 20, "G": 21,
+    "Y": 22, "P": 23, "B": 24, "V": 25, "K": 26, "'": 27, "X": 28,
+    "J": 29, "Q": 30, "Z": 31,
+}
+
 
 class CharTokenizer:
     def __init__(self, vocab: Dict[str, int]):
@@ -43,6 +55,12 @@ class CharTokenizer:
         for c in sorted(chars):
             vocab[c] = len(vocab)
         return cls(vocab)
+
+    @classmethod
+    def wav2vec2_base_960h(cls) -> "CharTokenizer":
+        """Fixed facebook/wav2vec2-base-960h letter vocabulary (32 tokens)
+        in checkpoint order — use with ported pretrained CTC heads."""
+        return cls(dict(_W2V2_960H_VOCAB))
 
     @classmethod
     def load(cls, path: pathlib.Path | str) -> "CharTokenizer":
@@ -79,7 +97,10 @@ class CharTokenizer:
             prev = i
             if i == self.blank_id:
                 continue
-            out.append(self.inverse.get(i, ""))
+            tok = self.inverse.get(i, "")
+            if tok in ("<s>", "</s>"):  # BOS/EOS of the HF letter vocab
+                continue
+            out.append(tok)
         text = "".join(out).replace(WORD_DELIM, " ")
         return " ".join(text.split())  # squeeze repeated spaces
 

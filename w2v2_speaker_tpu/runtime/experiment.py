@@ -257,6 +257,9 @@ def build_data_module(cfg: Dict):
                 max_batch_size=dl.get("max_batch_size"),
                 max_queue_size=dl["queue_size"],
                 pad_to_multiple=dl["pad_to_multiple"],
+                tokenizer_name=(cfg.get("tokenizer") or {}).get(
+                    "name", "corpus_char"
+                ),
                 seed=cfg["seed"],
             )
         )
