@@ -1,0 +1,113 @@
+"""A/B benchmark: bf16 vs dynamic-int8 matmuls on the extraction forward.
+
+The MXU's int8 path is double its bf16 rate on v5e; this measures how much
+of that reaches the full wav2vec2-BASE speaker-embedding forward
+(`Wav2Vec2Config.int8_matmuls`, ops/quant.py). Methodology as bench.py:
+fori_loop-chained iterations in ONE program, fresh inputs, n-vs-2n
+differential, float() barrier (the axon transport memoizes identical
+requests and resolves futures lazily — CLAUDE.md).
+
+Usage: python tools/bench_int8.py [--batch 48] [--seconds 3] [--iters 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=48)
+    ap.add_argument("--seconds", type=float, default=3.0)
+    ap.add_argument("--iters", type=int, default=64)
+    ap.add_argument("--large", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from w2v2_speaker_tpu.models.wav2vec2 import (
+        BASE_CONFIG,
+        LARGE_CONFIG,
+        Wav2Vec2Config,
+    )
+    from w2v2_speaker_tpu.models.wav2vec2_speaker import (
+        Wav2Vec2SpeakerConfig,
+        Wav2Vec2SpeakerModel,
+    )
+
+    assert jax.devices()[0].platform == "tpu", "run on the TPU host"
+    rng = np.random.default_rng(0)
+    n = int(16000 * args.seconds)
+    size = LARGE_CONFIG if args.large else BASE_CONFIG
+
+    def build(int8):
+        cfg = Wav2Vec2SpeakerConfig(
+            w2v2=Wav2Vec2Config(
+                **{
+                    **size.__dict__,
+                    "dtype": "bfloat16",
+                    "layerdrop": 0.0,
+                    "int8_matmuls": int8,
+                }
+            ),
+            stat_pooling_type="mean",
+        )
+        model = Wav2Vec2SpeakerModel(cfg=cfg, num_speakers=5994)
+        wav = jnp.zeros((args.batch, n), jnp.float32)
+        variables = jax.jit(model.init)(
+            {"params": jax.random.PRNGKey(0)}, wav
+        )
+        variables = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32
+            else x,
+            variables,
+        )
+
+        @jax.jit
+        def run(m, *, v, w):
+            def body(i, w_):
+                emb = model.apply(
+                    v, w_, method=Wav2Vec2SpeakerModel.compute_embedding
+                )
+                return w_ * (1.0 + 1e-20 * emb.sum())
+
+            return jax.lax.fori_loop(0, m, body, w).sum()
+
+        return run, variables
+
+    def fresh():
+        return jnp.asarray(
+            rng.normal(size=(args.batch, n)).astype(np.float32)
+        )
+
+    for label, int8 in (("bf16", False), ("int8", True)):
+        run, variables = build(int8)
+        float(run(1, v=variables, w=fresh()))  # compile
+
+        def timed(m):
+            w = fresh()
+            t0 = time.perf_counter()
+            float(run(m, v=variables, w=w))
+            return time.perf_counter() - t0
+
+        t1 = min(timed(args.iters) for _ in range(3))
+        t2 = min(timed(2 * args.iters) for _ in range(3))
+        dt = max(t2 - t1, 1e-9) / args.iters
+        print(
+            f"{label}: {dt * 1e3:.2f} ms/batch-{args.batch} "
+            f"({args.batch / dt:.0f} utt/s, "
+            f"{args.batch / dt * args.seconds:.0f}x real-time)"
+        )
+
+
+if __name__ == "__main__":
+    main()

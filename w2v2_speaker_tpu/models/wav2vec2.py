@@ -108,6 +108,11 @@ class Wav2Vec2Config:
     # attention-prob dropout for training). Auto-falls back to the XLA
     # path for short sequences and non-TPU platforms.
     attention_impl: str = "flash"  # "flash" | "xla"
+    # Inference-only: run the transformer/projection Dense matmuls as
+    # dynamic int8 on the MXU's double-rate path (ops/quant.py). Same
+    # parameter layout (checkpoints/converter/TP rules untouched); no
+    # gradient path — training configs must keep this False.
+    int8_matmuls: bool = False
 
 
 BASE_CONFIG = Wav2Vec2Config()
@@ -134,6 +139,16 @@ def feat_extract_output_lengths(
     for k, s in zip(cfg.conv_kernel, cfg.conv_stride):
         lengths = (lengths - k) // s + 1
     return lengths
+
+
+def _dense(cfg: "Wav2Vec2Config", features: int, dtype, name: str):
+    """nn.Dense, or its int8-MXU twin when cfg.int8_matmuls (identical
+    param layout either way)."""
+    if cfg.int8_matmuls:
+        from ..ops.quant import QuantDense
+
+        return QuantDense(features=features, dtype=dtype, name=name)
+    return nn.Dense(features, dtype=dtype, name=name)
 
 
 class _MaskedChannelNorm(nn.Module):
@@ -237,7 +252,7 @@ class FeatureProjection(nn.Module):
         x = nn.LayerNorm(
             epsilon=self.cfg.layer_norm_eps, dtype=dtype, name="layer_norm"
         )(x)
-        x = nn.Dense(self.cfg.hidden_size, dtype=dtype, name="projection")(x)
+        x = _dense(self.cfg, self.cfg.hidden_size, dtype, "projection")(x)
         x = nn.Dropout(
             rate=self.cfg.feat_proj_dropout, deterministic=not train
         )(x)
@@ -354,7 +369,7 @@ class SelfAttention(nn.Module):
 
         # fused QKV: one [h, 3h] matmul instead of three [h, h] — fewer,
         # larger MXU ops (converter concatenates the HF q/k/v weights)
-        qkv = nn.Dense(3 * h, dtype=dtype, name="qkv_proj")(x)
+        qkv = _dense(cfg, 3 * h, dtype, "qkv_proj")(x)
         q, k, v = (
             part.reshape(b, t, n_heads, head_dim)
             for part in jnp.split(qkv, 3, axis=-1)
@@ -384,7 +399,7 @@ class SelfAttention(nn.Module):
                 rng,
             )
         out = out.reshape(b, t, h)
-        return nn.Dense(h, dtype=dtype, name="out_proj")(out)
+        return _dense(cfg, h, dtype, "out_proj")(out)
 
 
 class EncoderLayer(nn.Module):
@@ -450,14 +465,14 @@ class EncoderLayer(nn.Module):
             if pre
             else x
         )
-        h = nn.Dense(
-            cfg.intermediate_size, dtype=dtype, name="intermediate_dense"
-        )(ff_in)
+        h = _dense(cfg, cfg.intermediate_size, dtype, "intermediate_dense")(
+            ff_in
+        )
         h = nn.gelu(h, approximate=False)
         h = nn.Dropout(
             rate=cfg.activation_dropout, deterministic=not train
         )(h)
-        h = nn.Dense(cfg.hidden_size, dtype=dtype, name="output_dense")(h)
+        h = _dense(cfg, cfg.hidden_size, dtype, "output_dense")(h)
         h = nn.Dropout(rate=cfg.hidden_dropout, deterministic=not train)(h)
         x = x + h
         if not pre:

@@ -319,6 +319,10 @@ def _w2v2_config(
             "remat": remat,
             "attention_impl": net.get("attention_impl", "xla"),
             "encoder_unroll": net.get("encoder_unroll", 1),
+            # inference-only int8 MXU matmuls (ops/quant.py) — the
+            # train driver rejects it (no gradient path); predict.py and
+            # the serving entry use it for ~2x dense throughput
+            "int8_matmuls": net.get("int8_matmuls", False),
         }
     )
 
@@ -652,6 +656,15 @@ def extract_embeddings(
 def run_train_eval(cfg: Dict) -> float:
     seed = int(cfg["seed"])
     np.random.seed(seed)
+
+    if cfg["network"].get("int8_matmuls"):
+        # quantized matmuls have no gradient path (round() is
+        # zero-gradient) — training would silently never update the dense
+        # layers. predict.py is the int8 surface.
+        raise ValueError(
+            "network.int8_matmuls is inference-only (predict.py); "
+            "training recipes must keep bf16/f32 matmuls"
+        )
 
     # TPU-optimized PRNG for dropout/layerdrop mask generation: threefry is
     # VPU-expensive; rbg measured 13% faster end-to-end train steps on v5e.
