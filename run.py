@@ -155,11 +155,25 @@ def main(argv=None) -> float:
             # mirror the local multirun path: every array task gets its own
             # checkpoint subdir, otherwise concurrent tasks
             # (array_parallelism > 1) clobber each other's checkpoints and
-            # corrupt best-checkpoint selection
+            # corrupt best-checkpoint selection. The override is left as an
+            # UNRESOLVED interpolation unless the user pinned an explicit
+            # dir: resolving it at submit time would bake the submitting
+            # process's ${random_uuid:} experiment name into the checkpoint
+            # path while each array task resolves a fresh uuid for its
+            # log_dir — scattering one run's checkpoints and TB events
+            # across unrelated experiment dirs.
             jobs = []
             for i, run_overrides in enumerate(runs):
-                cfg_i = load_config(CONFIG_DIR, "train_eval", run_overrides)
-                ckpt = str(cfg_i["trainer"]["checkpoint_dir"])
+                explicit = [
+                    ov.split("=", 1)[1]
+                    for ov in run_overrides
+                    if ov.split("=", 1)[0] == "trainer.checkpoint_dir"
+                ]
+                ckpt = (
+                    explicit[-1]
+                    if explicit
+                    else "${log_folder}/${experiment_name}/checkpoints"
+                )
                 jobs.append(
                     run_overrides
                     + [f"trainer.checkpoint_dir={ckpt}/job{i}"]

@@ -247,8 +247,7 @@ def test_early_stopping_controller_unit():
     assert es.update({"val_eer": 0.5}) is None  # first value = best
     assert es.update({"val_eer": 0.4}) is None  # improvement
     assert es.update({"val_eer": 0.4}) is None  # wait 1
-    assert es.update({"val_eer": 0.45}) is None  # wait 2
-    reason = es.update({"val_eer": 0.4})  # wait 3 > patience
+    reason = es.update({"val_eer": 0.45})  # wait 2 == patience: stop (PL)
     assert reason is not None and "did not improve" in reason
 
     # min_delta: an improvement smaller than the delta does not reset

@@ -169,6 +169,6 @@ def _run_phase_section():
         )
 
 
-if __name__ == "__main__" or True:
+if __name__ == "__main__":
     if "--phase" in sys.argv or "--phase-only" in sys.argv:
         _run_phase_section()

@@ -70,36 +70,33 @@ sec_audio = b * 15.0
 print(f"CTC train step: {ms:.2f} ms (B={b} x 15 s -> {sec_audio/(ms/1e3):.0f}x real-time training)", flush=True)
 
 # ------------------------------------------------------------- eval path
-# Jitted WER-eval forward (make_logits_fn): the production transcription
-# path (train/speech_task.py evaluate_wer). Same ladder methodology.
-if "--eval" in sys.argv or True:
-    from w2v2_speaker_tpu.train.steps import make_logits_fn
+# Jitted WER-eval forward: the same task.logits_fn the production
+# make_logits_fn wraps (train/steps.py:166-186), chained in-loop since the
+# ladder needs the fori_loop around it. Always measured.
 
-    logits_fn = make_logits_fn(task, mesh=None)
+@jax.jit
+def eval_loop(m, st, feats):
+    def body(i, carry):
+        f, s = carry
+        bump = (1.0 + 1e-20 * s).astype(f.dtype)
+        logits, lengths = task.logits_fn(
+            st.params, st.model_state, f * bump, None
+        )
+        return (f, logits.astype(jnp.float32).sum())
+    _, s = jax.lax.fori_loop(0, m, body, (feats, 0.0))
+    return s
 
-    @jax.jit
-    def eval_loop(m, st, feats):
-        def body(i, carry):
-            f, s = carry
-            bump = (1.0 + 1e-20 * s).astype(f.dtype)
-            logits, lengths = task.logits_fn(
-                st.params, st.model_state, f * bump, None
-            )
-            return (f, logits.astype(jnp.float32).sum())
-        _, s = jax.lax.fori_loop(0, m, body, (feats, 0.0))
-        return s
-
-    float(eval_loop(1, state, fresh()))
-    def once_eval(m):
-        f = fresh(); float(f.astype(jnp.float32).sum())
-        t0 = time.perf_counter(); float(eval_loop(m, state, f))
-        return time.perf_counter() - t0
-    iters = 16
-    t1 = min(once_eval(iters) for _ in range(2))
-    t2 = min(once_eval(2 * iters) for _ in range(2))
-    ms = (t2 - t1) / iters * 1e3
-    print(
-        f"CTC eval forward: {ms:.2f} ms (B={b} x 15 s -> "
-        f"{sec_audio/(ms/1e3):.0f}x real-time transcription)",
-        flush=True,
-    )
+float(eval_loop(1, state, fresh()))
+def once_eval(m):
+    f = fresh(); float(f.astype(jnp.float32).sum())
+    t0 = time.perf_counter(); float(eval_loop(m, state, f))
+    return time.perf_counter() - t0
+iters = 16
+t1 = min(once_eval(iters) for _ in range(2))
+t2 = min(once_eval(2 * iters) for _ in range(2))
+ms = (t2 - t1) / iters * 1e3
+print(
+    f"CTC eval forward: {ms:.2f} ms (B={b} x 15 s -> "
+    f"{sec_audio/(ms/1e3):.0f}x real-time transcription)",
+    flush=True,
+)

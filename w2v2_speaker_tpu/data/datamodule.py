@@ -242,8 +242,11 @@ class VoxCelebDataModule:
                         f"({key_root[k]} and {root})"
                     )
                 key_root[k] = root
-                # a speaker reachable from any train source is trainable
-                trainable[k] = trainable.get(k, False) or is_train
+                # per-utterance: audio from a test-only source never
+                # trains — utterances whose speaker is not in the trial
+                # file are dropped below (voxceleb.py:1513-1517), never
+                # promoted into training (cross-corpus leakage)
+                trainable[k] = is_train
         keys = sorted(key_root)
         if cfg.limit_samples:
             keys = keys[: cfg.limit_samples]

@@ -68,6 +68,36 @@ def strip_host_fields(batch: dict) -> dict:
     }
 
 
+def pad_batch_rows(
+    batch: dict, target_rows: int, mask_fill: bool = False
+) -> dict:
+    """Right-pad every array's leading dim to ``target_rows`` so ragged
+    trailing batches keep the static shape the data-axis sharding (and one
+    compiled program per bucket) requires. Pad rows are zeros; the 'mask'
+    entry pads with ``mask_fill`` (False = invalid rows, excluded by the
+    padding-invariant model paths; True = all-valid rows for the CTC
+    logits path, where zero-length rows would be degenerate and the pad
+    rows are sliced off before decoding). Callers slice outputs back to
+    the true row count."""
+    n = next(iter(batch.values())).shape[0]
+    pad = target_rows - n
+    if pad <= 0:
+        return batch
+    return {
+        k: np.concatenate(
+            [
+                v,
+                np.full(
+                    (pad,) + v.shape[1:],
+                    mask_fill if k == "mask" else 0,
+                    v.dtype,
+                ),
+            ]
+        )
+        for k, v in batch.items()
+    }
+
+
 def shard_batch(batch, mesh: Mesh):
     """Device-put a pytree of host arrays with the leading axis sharded over
     the data axis (per-host feeding; XLA handles the rest). Host-only fields

@@ -160,7 +160,13 @@ def _resolve_expr(expr: str, root: Dict) -> Any:
         )
         return int(float(a) // float(b))
     if expr.startswith("random_uuid:") or expr == "random_uuid":
-        return str(uuid.uuid4())
+        # ONE uuid per compose (seeded by load_config): Hydra resolves its
+        # run dir (and therefore ${experiment_name}) once per job, so every
+        # interpolation site — experiment_name, checkpoint_dir, log_dir —
+        # must agree on the same value or checkpoints and TB events land
+        # in unrelated experiment dirs. Read-only here: inserting into
+        # `root` mid-resolve would mutate a dict being iterated.
+        return root.get("__random_uuid__") or str(uuid.uuid4())
     # plain key reference
     return resolve(_get_path(root, expr), root)
 
@@ -285,4 +291,7 @@ def load_config(
     cfg = _deep_merge(cfg, root_file)
     cfg = apply_overrides(cfg, overrides or [], config_dir, group_choices)
     cfg["__groups__"] = dict(group_choices)
-    return resolve(cfg, cfg)
+    cfg["__random_uuid__"] = str(uuid.uuid4())  # one uuid per compose
+    resolved = resolve(cfg, cfg)
+    resolved.pop("__random_uuid__", None)
+    return resolved

@@ -63,6 +63,7 @@ from ..objectives import schedules
 from ..parallel.mesh import (
     batch_sharding,
     create_mesh,
+    pad_batch_rows,
     replicated,
     shard_batch,
     strip_host_fields,
@@ -627,15 +628,10 @@ def extract_embeddings(
             pad_to_multiple=pad_to_multiple,
             dtype=np.float32,
         )
-        values, mask = batch.values, batch.mask
-        pad = batch_size - values.shape[0]
-        if pad:
-            values = np.concatenate(
-                [values, np.zeros((pad,) + values.shape[1:], np.float32)]
-            )
-            mask = np.concatenate(
-                [mask, np.zeros((pad, mask.shape[1]), bool)]
-            )
+        padded = pad_batch_rows(
+            {"features": batch.values, "mask": batch.mask}, batch_size
+        )
+        values, mask = padded["features"], padded["mask"]
         result = embed_fn(state, jnp.asarray(values), jnp.asarray(mask))
         if ensemble:
             layers = [np.asarray(e)[: len(chunk)] for e in result]
@@ -847,7 +843,9 @@ class EarlyStopping:
             self.wait = 0
             return None
         self.wait += 1
-        if self.wait > self.patience:
+        # PL semantics: stop once wait_count REACHES patience (>=), i.e.
+        # after `patience` consecutive non-improving validations
+        if self.wait >= self.patience:
             return (
                 f"{self.monitor} did not improve for {self.wait} "
                 f"validations (best {self.best:.4f})"
@@ -958,14 +956,9 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
                 # padded rows have empty targets and are excluded from the
                 # CTC mean
                 n_data = mesh.shape["data"] * acc
-                pad = (-db["features"].shape[0]) % n_data
-                if pad:
-                    db = {
-                        k: np.concatenate(
-                            [v, np.zeros((pad,) + v.shape[1:], v.dtype)]
-                        )
-                        for k, v in db.items()
-                    }
+                db = pad_batch_rows(
+                    db, -(-db["features"].shape[0] // n_data) * n_data
+                )
             if prof_active and step == prof_start:
                 jax.profiler.start_trace(str(prof["trace_dir"]))
             state, metrics = step_fn(state, shard_batch(db, mesh))
@@ -1088,14 +1081,11 @@ def _run_speaker(cfg, dm, task: SpeakerTask, mesh, logger) -> float:
             mask = db.get("mask")
             if mask is None:  # equal-length batch: collate omitted the mask
                 mask = np.ones(feats.shape[:2], bool)
-            pad = (-feats.shape[0]) % n_data
-            if pad:
-                feats = np.concatenate(
-                    [feats, np.zeros((pad,) + feats.shape[1:], np.float32)]
-                )
-                mask = np.concatenate(
-                    [mask, np.zeros((pad, mask.shape[1]), bool)]
-                )
+            padded = pad_batch_rows(
+                {"features": feats, "mask": mask},
+                -(-feats.shape[0] // n_data) * n_data,
+            )
+            feats, mask = padded["features"], padded["mask"]
             e = np.asarray(
                 embed(state, jnp.asarray(feats), jnp.asarray(mask))
             )[: len(batch["keys"])]
@@ -1252,15 +1242,7 @@ def _run_paired(cfg, dm, task: PairedSpeakerTask, mesh, logger) -> float:
         for batch in proc(sample_iter):
             db = strip_host_fields(batch)
             n = db["labels"].shape[0]
-            # pad ragged last batch for static shapes
-            pad = target_bs - n
-            if pad:
-                db = {
-                    key: np.concatenate(
-                        [v, np.zeros((pad,) + v.shape[1:], v.dtype)]
-                    )
-                    for key, v in db.items()
-                }
+            db = pad_batch_rows(db, target_bs)
             s = np.asarray(score_fn(state, db))[:n]
             scores.extend(s.tolist())
             gts.extend(np.asarray(batch["labels"]).tolist())

@@ -145,16 +145,13 @@ class SpeechTask:
                 mask = batch.get("mask")
                 n = feats.shape[0]
                 if pad_rows_to and n < pad_rows_to:
-                    pad = pad_rows_to - n
-                    feats = np.concatenate(
-                        [feats, np.zeros((pad,) + feats.shape[1:],
-                                         feats.dtype)]
-                    )
+                    from ..parallel.mesh import pad_batch_rows
+
+                    db = {"features": feats}
                     if mask is not None:
-                        mask = np.concatenate(
-                            [mask, np.ones((pad,) + mask.shape[1:],
-                                           mask.dtype)]
-                        )
+                        db["mask"] = mask
+                    db = pad_batch_rows(db, pad_rows_to, mask_fill=True)
+                    feats, mask = db["features"], db.get("mask")
                 logits, lengths = logits_fn(feats, mask)
                 hyps.extend(
                     self.tokenizer.decode_batch(

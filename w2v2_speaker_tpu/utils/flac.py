@@ -127,15 +127,21 @@ def read_flac(
     # compressed streams (constant/rice frames) can decode many samples per
     # byte, so on capacity overflow (-9) with unknown total we retry with a
     # geometrically grown buffer instead of failing.
+    # retry ceiling: 2^28 samples/channel (a 1 GiB int32 buffer mono —
+    # 4.7 h of 16 kHz audio, far past any utterance). Without it a small
+    # crafted file of constant subframes (65535 samples per ~10 bytes) with
+    # unknown total drives multi-ten-GB allocations and full re-decodes.
+    max_cap = 1 << 28
     cap = total if total > 0 else (len(data) * 8 // max(bps, 1) + 65536)
+    cap = min(cap, max_cap)
     while True:
         out = np.empty(cap * ch, dtype=np.int32)
         written = ctypes.c_int64()
         rc = lib.w2vtpu_flac_decode(
             ptr, len(buf), out.ctypes.data_as(_i32p), cap, ctypes.byref(written)
         )
-        if rc == -9 and total == 0 and cap < (1 << 34):
-            cap *= 4
+        if rc == -9 and total == 0 and cap < max_cap:
+            cap = min(cap * 4, max_cap)
             continue
         if rc != 0:
             raise ValueError(f"FLAC decode failed: {_ERRORS.get(rc, rc)}")
