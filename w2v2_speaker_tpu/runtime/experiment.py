@@ -528,10 +528,16 @@ def build_optimizer(cfg: Dict) -> optax.GradientTransformation:
     elif name == "exp_decay":
         sched = schedules.exp_decay(max_steps, lr, sched_cfg["final_lr"])
     elif name == "cyclic":
+        # absolute base_lr/max_lr (the reference's CyclicLR surface,
+        # config/optim/schedule/schedule_wav2vec_fan_etal.yaml:9-21) with
+        # the relative max_lr_factor form kept for the generic preset
+        base = sched_cfg.get("base_lr", lr)
+        max_lr = sched_cfg.get("max_lr") or base * sched_cfg["max_lr_factor"]
         sched = schedules.cyclic(
-            lr,
-            lr * sched_cfg["max_lr_factor"],
+            base,
+            max_lr,
             sched_cfg["step_size_up"],
+            sched_cfg.get("step_size_down"),
         )
     elif name == "multi_step":
         sched = schedules.multi_step_decay(
