@@ -61,7 +61,11 @@ def conv_taps(x, w, s):
     return out
 
 
-for (t_in, c_in, c_out, k, s) in LAYERS if "--phase-only" not in sys.argv else []:
+_SKIP_MAIN = "--phase-only" in sys.argv or any(
+    a.startswith("--pallas") for a in sys.argv
+)
+
+for (t_in, c_in, c_out, k, s) in LAYERS if not _SKIP_MAIN else []:
     x = jnp.asarray(rng.normal(size=(B, t_in, c_in)).astype(np.float32)
                     ).astype(jnp.bfloat16)
     w = jnp.asarray(rng.normal(size=(k, c_in, c_out)).astype(np.float32) * 0.05
@@ -169,6 +173,148 @@ def _run_phase_section():
         )
 
 
+# ------------------------------------------------------------ Pallas kernel
+# ops/conv_encoder.py: the pair-phase GEMM *inside* a Pallas kernel — the
+# decomposition that lost as an XLA formulation (pad/concat/add as separate
+# HBM passes) stays in VMEM here, and GELU fuses into the same kernel. A/B
+# against the XLA chain the model actually runs (conv + exact GELU).
+def _run_pallas_section(batch):
+    from w2v2_speaker_tpu.ops.conv_encoder import (
+        conv_fused_reference,
+        strided_conv_fused,
+    )
+
+    print(f"\nPallas fused conv+GELU vs XLA conv+GELU (B={batch}):")
+    for (t_in, c_in, c_out, k, s) in LAYERS:
+        if s != 2 or c_in != c_out or c_in % 128:
+            continue
+        x = jnp.asarray(
+            rng.normal(size=(batch, t_in, c_in)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        w = jnp.asarray(
+            rng.normal(size=(k, c_in, c_out)).astype(np.float32) * 0.05
+        ).astype(jnp.bfloat16)
+        t_out = (t_in - k) // s + 1
+        gf = batch * t_out * k * c_in * c_out * 2 / 1e9
+
+        ref = conv_fused_reference(x[:1], w)
+        got = strided_conv_fused(x[:1], w, None, None, None)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32),
+            np.asarray(ref, np.float32),
+            rtol=0.05, atol=0.5,
+        )
+
+        def chain(fn):
+            @jax.jit
+            def run(m, x, w):
+                def body(i, carry):
+                    x_, acc = carry
+                    y = fn(x_, w)
+                    return (
+                        x_
+                        * (
+                            1 + 1e-20 * y.astype(jnp.float32).sum()
+                        ).astype(x_.dtype),
+                        acc + y.astype(jnp.float32).sum(),
+                    )
+
+                return jax.lax.fori_loop(0, m, body, (x, 0.0))[1]
+
+            return run
+
+        ms_x = timed(chain(lambda x_, w_: conv_fused_reference(x_, w_)), x, w)
+        row = (
+            f"T={t_in:6d} k={k:2d}  {gf:6.1f} GF  "
+            f"xla {ms_x:7.3f} ms ({gf/ms_x:6.1f} TF/s)"
+        )
+        for bt in (128, 256, 512):
+            ms_p = timed(
+                chain(
+                    lambda x_, w_, bt=bt: strided_conv_fused(
+                        x_, w_, None, None, None, block_t=bt
+                    )
+                ),
+                x,
+                w,
+            )
+            row += f"  bt{bt} {ms_p:7.3f} ({gf/ms_p:6.1f})"
+        print(row, flush=True)
+
+
+# LARGE layout: conv + bias + per-layer LayerNorm + GELU
+# (feat_extract_norm="layer", conv_bias=True). The two-pass LN cannot fuse
+# into XLA's conv output; the Pallas kernel applies it in-register.
+def _run_pallas_large_section(batch):
+    from w2v2_speaker_tpu.ops.conv_encoder import (
+        conv_fused_reference,
+        strided_conv_fused,
+    )
+
+    print(f"\nPallas fused conv+bias+LN+GELU vs XLA chain (B={batch}):")
+    for (t_in, c_in, c_out, k, s) in LAYERS:
+        if s != 2 or c_in != c_out or c_in % 128:
+            continue
+        x = jnp.asarray(
+            rng.normal(size=(batch, t_in, c_in)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        w = jnp.asarray(
+            rng.normal(size=(k, c_in, c_out)).astype(np.float32) * 0.05
+        ).astype(jnp.bfloat16)
+        bias = jnp.asarray(
+            rng.normal(size=(c_out,)).astype(np.float32) * 0.05
+        )
+        ls = jnp.ones((c_out,), jnp.float32)
+        lb = jnp.zeros((c_out,), jnp.float32)
+        t_out = (t_in - k) // s + 1
+        gf = batch * t_out * k * c_in * c_out * 2 / 1e9
+
+        def chain(fn):
+            @jax.jit
+            def run(m, x, w):
+                def body(i, carry):
+                    x_, acc = carry
+                    y = fn(x_, w)
+                    return (
+                        x_
+                        * (
+                            1 + 1e-20 * y.astype(jnp.float32).sum()
+                        ).astype(x_.dtype),
+                        acc + y.astype(jnp.float32).sum(),
+                    )
+
+                return jax.lax.fori_loop(0, m, body, (x, 0.0))[1]
+
+            return run
+
+        ms_x = timed(
+            chain(lambda x_, w_: conv_fused_reference(x_, w_, bias, ls, lb)),
+            x,
+            w,
+        )
+        row = (
+            f"T={t_in:6d} k={k:2d}  {gf:6.1f} GF  "
+            f"xla {ms_x:7.3f} ms ({gf/ms_x:6.1f} TF/s)"
+        )
+        for bt in (256, 512):
+            ms_p = timed(
+                chain(
+                    lambda x_, w_, bt=bt: strided_conv_fused(
+                        x_, w_, bias, ls, lb, block_t=bt
+                    )
+                ),
+                x,
+                w,
+            )
+            row += f"  bt{bt} {ms_p:7.3f} ({gf/ms_p:6.1f})"
+        print(row, flush=True)
+
+
 if __name__ == "__main__":
     if "--phase" in sys.argv or "--phase-only" in sys.argv:
         _run_phase_section()
+    b = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else B
+    if "--pallas" in sys.argv:
+        _run_pallas_section(b)
+    if "--pallas-large" in sys.argv:
+        _run_pallas_large_section(b)

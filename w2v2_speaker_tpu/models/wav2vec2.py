@@ -108,6 +108,17 @@ class Wav2Vec2Config:
     # attention-prob dropout for training). Auto-falls back to the XLA
     # path for short sequences and non-TPU platforms.
     attention_impl: str = "flash"  # "flash" | "xla"
+    # Strided-conv formulation for feature-encoder layers 1..6.
+    # "fused_pallas" routes eligible layers (k in {2,3}, s=2, 512->512)
+    # through ops/conv_encoder.py — one VMEM-resident pair-phase GEMM with
+    # bias/LayerNorm/GELU fused in-register. Measured on v5e it LOSES to
+    # XLA's implicit-GEMM conv lowering at every FLOP-carrying layer in
+    # both the BASE (group-norm) and LARGE (per-layer LN) layouts (PERF.md
+    # "conv-encoder roofline" A/B tables: ~56-65 vs ~92-104 TF/s), so the
+    # default stays "xla"; the kernel remains available for future
+    # hardware/compiler revisions. Forward-only: its backward falls back
+    # to the XLA formulation (identical math).
+    conv_impl: str = "xla"  # "xla" | "fused_pallas"
     # Inference-only: run the transformer/projection Dense matmuls as
     # dynamic int8 on the MXU's double-rate path (ops/quant.py). Same
     # parameter layout (checkpoints/converter/TP rules untouched); no
@@ -191,6 +202,42 @@ class _MaskedChannelNorm(nn.Module):
         return (y * scale + bias).astype(self.dtype)
 
 
+class _ConvParams(nn.Module):
+    """Parameter twin of nn.Conv (kernel [k, in, out] + bias, same names,
+    shapes and default inits) for the fused Pallas conv path — ported
+    checkpoints and converters see an identical tree either way."""
+
+    features: int
+    kernel_size: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, in_features, self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+class _LNParams(nn.Module):
+    """Parameter twin of nn.LayerNorm (scale/bias) for the fused path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
 class ConvFeatureEncoder(nn.Module):
     """Raw waveform [B, N] -> features [B, T, conv_dim[-1]].
 
@@ -200,6 +247,11 @@ class ConvFeatureEncoder(nn.Module):
     inference differs from its own unpadded inference; the reference
     evaluates unpadded at batch 1 (`speaker_recognition_module.py:468`), and
     masked statistics reproduce exactly that behavior for padded batches.
+
+    ``cfg.conv_impl == "fused_pallas"`` routes eligible layers (1..6:
+    k in {2,3}, s=2, 512->512) through the fused Pallas kernel
+    (ops/conv_encoder.py) with identical parameters and math; the default
+    "xla" path is the measured optimum on v5e (PERF.md).
     """
 
     cfg: Wav2Vec2Config
@@ -217,6 +269,35 @@ class ConvFeatureEncoder(nn.Module):
         for i, (c, k, s) in enumerate(
             zip(self.cfg.conv_dim, self.cfg.conv_kernel, self.cfg.conv_stride)
         ):
+            if self.cfg.conv_impl == "fused_pallas":
+                from ..ops import conv_encoder
+
+                if conv_encoder.eligible(k, s, x.shape[-1], c):
+                    kernel, bias = _ConvParams(
+                        features=c,
+                        kernel_size=k,
+                        use_bias=self.cfg.conv_bias,
+                        name=f"conv_{i}",
+                    )(x.shape[-1])
+                    if self.cfg.feat_extract_norm == "layer":
+                        ln_scale, ln_bias = _LNParams(
+                            features=c, name=f"layer_norm_{i}"
+                        )()
+                    else:
+                        ln_scale = ln_bias = None
+                    x = conv_encoder.strided_conv_fused(
+                        x,
+                        kernel,
+                        bias,
+                        ln_scale,
+                        ln_bias,
+                        ln_eps=self.cfg.layer_norm_eps,
+                        fuse_gelu=True,
+                        interpret=jax.devices()[0].platform != "tpu",
+                    )
+                    if lengths is not None:
+                        lengths = (lengths - k) // s + 1
+                    continue
             x = nn.Conv(
                 features=c,
                 kernel_size=(k,),

@@ -319,6 +319,10 @@ def _w2v2_config(
             "dtype": "bfloat16" if precision == "bf16" else "float32",
             "remat": remat,
             "attention_impl": net.get("attention_impl", "xla"),
+            # "fused_pallas" routes eligible feature-encoder layers through
+            # ops/conv_encoder.py; "xla" is the measured optimum on v5e
+            # (PERF.md conv-encoder roofline)
+            "conv_impl": net.get("conv_impl", "xla"),
             "encoder_unroll": net.get("encoder_unroll", 1),
             # inference-only int8 MXU matmuls (ops/quant.py) — the
             # train driver rejects it (no gradient path); predict.py and
