@@ -32,6 +32,33 @@ def test_tb_writer_roundtrips_through_tensorboard_reader(tmp_path):
     assert eer[0].step == 20 and eer[0].value == pytest.approx(0.07)
 
 
+def test_tb_writer_text_roundtrips_through_tensorboard_reader(tmp_path):
+    """Text events (tracked-sample transcriptions) must decode through the
+    real TensorBoard tensor/text pipeline, not just scalars."""
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    from w2v2_speaker_tpu.runtime.tb_writer import TensorBoardWriter
+
+    w = TensorBoardWriter(tmp_path)
+    w.add_text("train/transcription", "HELLO WORLD", 5)
+    w.add_text("train/transcription", "HALLO WORLT", 10)
+    w.close()
+
+    acc = EventAccumulator(str(tmp_path))
+    acc.Reload()
+    assert "train/transcription" in acc.Tags()["tensors"]
+    events = acc.Tensors("train/transcription")
+    texts = [
+        (e.step, e.tensor_proto.string_val[0].decode()) for e in events
+    ]
+    assert texts == [(5, "HELLO WORLD"), (10, "HALLO WORLT")]
+    # routed to the text plugin
+    content = acc.PluginTagToContent("text")
+    assert "train/transcription" in content
+
+
 def test_metrics_logger_writes_events_without_torch(tmp_path, capsys):
     import w2v2_speaker_tpu.runtime.logging as logging_mod
     from w2v2_speaker_tpu.runtime.logging import MetricsLogger

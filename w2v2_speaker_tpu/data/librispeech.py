@@ -116,6 +116,10 @@ def write_librispeech_shards(
         "num_shards": shards,
         "num_samples": len(loaded),
         "characters": sorted(charset - {"|"}),
+        # `<spk>-<chapter>-<utt>` keys carry the speaker; recorded so the
+        # multitask recipe gets its speaker-classification label space
+        # without re-reading shards
+        "speakers": sorted({k.split("-")[0] for k, _, _ in loaded}),
     }
     (out_dir / "meta.json").write_text(json.dumps(meta, indent=2))
     return meta
@@ -137,6 +141,12 @@ class LibriSpeechConfig:
     # (reference librispeech.py:238-260); 'wav2vec2_base_960h' uses the
     # fixed HF letter vocab in checkpoint order (reference tokenizer group)
     tokenizer_name: str = "corpus_char"
+    # attach per-utterance speaker indices (derived from the LibriSpeech
+    # key `<spk>-<chapter>-<utt>`) to every batch — the joint
+    # speaker+speech multitask recipe (reference declares the module but
+    # never built its data side, mt_speech_speaker_module.py / main.py:
+    # 304-307)
+    with_speaker_labels: bool = False
     seed: int = 0
     host_id: int = 0
     num_hosts: int = 1
@@ -189,6 +199,57 @@ class LibriSpeechDataModule:
                 )
         return self._tokenizer
 
+    # ------------------------------------------------------------ speakers
+
+    @property
+    def speaker_id_to_idx(self) -> Dict[str, int]:
+        """Train-split speaker -> class index (sorted, deterministic).
+
+        Read from the split's meta.json when present; older shard dirs
+        (written before the field existed) fall back to a one-time scan of
+        the shard keys, persisted back as speakers.json."""
+        if getattr(self, "_speaker_map", None) is not None:
+            return self._speaker_map
+        d = self.cfg.shards_dir / self.TRAIN
+        meta_file = d / "meta.json"
+        speakers = None
+        if meta_file.exists():
+            speakers = json.loads(meta_file.read_text()).get("speakers")
+        if speakers is None:
+            cache = d / "speakers.json"
+            if cache.exists():
+                speakers = json.loads(cache.read_text())
+            else:
+                speakers = sorted(
+                    {
+                        s.key.split("-")[0]
+                        for s in ShardReader(ShardReader.discover(d))
+                    }
+                )
+                cache.write_text(json.dumps(speakers))
+        self._speaker_map = {s: i for i, s in enumerate(speakers)}
+        return self._speaker_map
+
+    @property
+    def num_speakers(self) -> int:
+        return len(self.speaker_id_to_idx)
+
+    def val_evaluation_pairs(
+        self, split: str = "val_clean", num_pairs: int = 200
+    ):
+        """Balanced same/different-speaker trial pairs over an eval split —
+        the speaker-verification half of the multitask recipe (the
+        reference's multitask module takes validation_pairs but its data
+        side was never built, mt_speech_speaker_module.py:45-56)."""
+        from .trials import generate_validation_pairs
+
+        per_speaker: Dict[str, List[str]] = {}
+        for s in self._samples(split):
+            per_speaker.setdefault(s.key.split("-")[0], []).append(s.key)
+        return generate_validation_pairs(
+            per_speaker, num_pairs, seed=self.cfg.seed
+        )
+
     def vocabulary_consistency_check(self) -> None:
         """Every transcript character must be encodable without <unk>."""
         tok = self.tokenizer
@@ -214,6 +275,9 @@ class LibriSpeechDataModule:
             num_hosts=cfg.num_hosts if split == self.TRAIN else 1,
         )
         tok = self.tokenizer
+        spk_map = (
+            self.speaker_id_to_idx if cfg.with_speaker_labels else None
+        )
         for s in reader:
             text = s.meta["transcription"]
             yield SpeechSample(
@@ -221,6 +285,11 @@ class LibriSpeechDataModule:
                 wav=s.wav.astype(np.float32),
                 transcription=text,
                 tokens=tok.encode(text),
+                speaker_idx=(
+                    spk_map.get(s.key.split("-")[0], -1)
+                    if spk_map is not None
+                    else None
+                ),
             )
 
     def train_batches(

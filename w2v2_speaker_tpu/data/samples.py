@@ -51,6 +51,11 @@ class SpeechSample:
     wav: np.ndarray
     transcription: str
     tokens: Optional[np.ndarray] = None  # int labels (CTC targets)
+    # speaker index for joint speaker+speech training (the reference's
+    # multitask module contract, mt_speech_speaker_module.py:83-96; its
+    # data side was never built — LibriSpeech keys `<spk>-<chapter>-<utt>`
+    # carry the speaker for free)
+    speaker_idx: Optional[int] = None
 
 
 def collate_speaker_batch(
@@ -128,7 +133,7 @@ def collate_speech_batch(
     labels = collate_pad_right(
         tokens, value=0, pad_to_multiple=label_pad_to_multiple, dtype=np.int32
     )
-    return {
+    out = {
         "features": batch.values,
         "mask": batch.mask,
         "labels": labels.values,
@@ -136,3 +141,8 @@ def collate_speech_batch(
         "transcriptions": [s.transcription for s in samples],
         "keys": [s.key for s in samples],
     }
+    if all(s.speaker_idx is not None for s in samples):
+        out["speaker_labels"] = np.asarray(
+            [s.speaker_idx for s in samples], np.int32
+        )
+    return out

@@ -64,6 +64,21 @@ def length_norm(embeddings: np.ndarray) -> np.ndarray:
     return embeddings / np.maximum(n, 1e-12)
 
 
+def _describe(x: np.ndarray) -> str:
+    """pandas-describe-style one-liner (count/mean/std/min/quartiles/max) —
+    the reference prints pd.DataFrame(scores).describe() for ground-truth
+    and prediction scores (speaker_recognition_evaluator.py:84-88)."""
+    if x.size == 0:
+        return "count=0"
+    q25, q50, q75 = np.percentile(x, [25, 50, 75])
+    std = x.std(ddof=1) if x.size > 1 else 0.0
+    return (
+        f"count={x.size} mean={x.mean():.4f} std={std:.4f} "
+        f"min={x.min():.4f} 25%={q25:.4f} 50%={q50:.4f} 75%={q75:.4f} "
+        f"max={x.max():.4f}"
+    )
+
+
 def _cosine_rowwise(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Row-wise cosine similarity, torch CosineSimilarity eps semantics."""
     na = np.linalg.norm(a, axis=-1)
@@ -129,6 +144,12 @@ class SpeakerRecognitionEvaluator:
             self._compute_prediction_scores(prediction_pairs), dtype=np.float64
         )
         scores = np.clip((scores + 1.0) / 2.0, 0.0, 1.0)
+
+        # score-distribution diagnostics, the reference's
+        # pd.DataFrame(...).describe() tables
+        # (speaker_recognition_evaluator.py:84-88)
+        print("ground truth scores:", _describe(np.asarray(ground_truth)))
+        print("prediction scores:  ", _describe(scores))
 
         try:
             eer, eer_threshold = calculate_eer(

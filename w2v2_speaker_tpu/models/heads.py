@@ -34,9 +34,14 @@ class AAMSoftmaxHead(nn.Module):
 
     @nn.compact
     def __call__(
-        self, embedding: jax.Array, labels: Optional[jax.Array] = None
+        self,
+        embedding: jax.Array,
+        labels: Optional[jax.Array] = None,
+        weights: Optional[jax.Array] = None,
     ):
-        """With labels: (loss, preds). Without: plain cosine logits * scale."""
+        """With labels: (loss, preds). Without: plain cosine logits * scale.
+        ``weights`` (optional, per-row) exclude device-divisibility padding
+        rows from the loss mean (multitask token-budget batches)."""
         w = self.param(
             "weights",
             nn.initializers.xavier_normal(),
@@ -54,7 +59,7 @@ class AAMSoftmaxHead(nn.Module):
         logits = aam_margin_logits(
             cosine, labels, self.margin, self.scale, self.easy_margin
         )
-        return cross_entropy(logits, labels)
+        return cross_entropy(logits, labels, weights)
 
 
 class FCHead(nn.Module):

@@ -41,12 +41,21 @@ __all__ = [
 
 
 def cross_entropy(
-    logits: jax.Array, labels: jax.Array
+    logits: jax.Array,
+    labels: jax.Array,
+    weights: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Mean CE over the batch; also returns softmax predictions."""
-    loss = optax.softmax_cross_entropy_with_integer_labels(
-        logits, labels
-    ).mean()
+    """Mean CE over the batch; also returns softmax predictions.
+
+    Optional per-row ``weights`` (e.g. 0 for device-divisibility padding
+    rows, 1 otherwise) turn the mean into a weighted mean — the same
+    padded-row exclusion contract as ctc_loss below."""
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    if weights is None:
+        loss = ce.mean()
+    else:
+        w = weights.astype(ce.dtype)
+        loss = (ce * w).sum() / jnp.maximum(w.sum(), 1.0)
     preds = jax.lax.stop_gradient(jax.nn.softmax(logits, axis=-1))
     return loss, preds
 

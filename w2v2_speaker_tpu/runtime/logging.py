@@ -65,6 +65,14 @@ class MetricsLogger:
     def log_eval(self, step: int, metrics: Dict[str, float], split="val"):
         self._emit(step, metrics, prefix=split)
 
+    def log_text(self, step: int, tag: str, text: str) -> None:
+        """Console + TensorBoard text (the reference's tracked-sample
+        transcription logging, speech_recognition_module.py:249-288)."""
+        if self.console:
+            print(f"{tag} step {step}: {text}", flush=True)
+        if self._writer is not None:
+            self._writer.add_text(tag, text, step)
+
     def _emit(self, step: int, metrics: Dict[str, float], prefix: str):
         if self.console:
             parts = " ".join(

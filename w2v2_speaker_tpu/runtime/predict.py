@@ -60,8 +60,11 @@ def run_predictions(cfg: Dict) -> pathlib.Path:
     task, kind = build_model_and_task(
         cfg, cfg["network"].get("explicit_num_speakers") or 2
     )
-    if kind != "speaker":
-        raise ValueError("predict supports speaker models")
+    if kind not in ("speaker", "multitask"):
+        # multitask networks expose the same embed_fn contract (speaker
+        # branch of the shared backbone); speech/paired have no single-
+        # utterance embedding to score pairs with
+        raise ValueError("predict supports speaker (or multitask) models")
     state = _init_state(cfg, task, _example_batch())
     mesh = create_mesh()
     embed = make_embed_fn(task, mesh)

@@ -97,13 +97,34 @@ def _scalar_event(step: int, tag: str, value: float, wall_time: float) -> bytes:
     )
 
 
+def _text_event(step: int, tag: str, text: str, wall_time: float) -> bytes:
+    """TensorBoard text-plugin event (the reference logs tracked-sample
+    transcriptions as text, speech_recognition_module.py:249-288).
+
+    Summary.Value { tag=1, tensor=8, metadata=9 } where the tensor is a
+    rank-1 DT_STRING TensorProto and the metadata routes it to the "text"
+    plugin with DATA_CLASS_TENSOR."""
+    # TensorProto { dtype = 1 (DT_STRING = 7), tensor_shape = 2,
+    #               repeated bytes string_val = 8 }
+    shape = _f_bytes(2, _f_varint(1, 1))  # TensorShapeProto.Dim { size = 1 }
+    tensor = _f_varint(1, 7) + _f_bytes(2, shape) + _f_bytes(8, text)
+    # SummaryMetadata { plugin_data = 1 { plugin_name = 1 },
+    #                   data_class = 4 (DATA_CLASS_TENSOR = 2) }
+    metadata = _f_bytes(1, _f_bytes(1, "text")) + _f_varint(4, 2)
+    sv = _f_bytes(1, tag) + _f_bytes(8, tensor) + _f_bytes(9, metadata)
+    summary = _f_bytes(1, sv)
+    return _f_double(1, wall_time) + _f_varint(2, int(step)) + _f_bytes(
+        5, summary
+    )
+
+
 def _version_event(wall_time: float) -> bytes:
     # Event { wall_time = 1, file_version = 3 }
     return _f_double(1, wall_time) + _f_bytes(3, "brain.Event:2")
 
 
 class TensorBoardWriter:
-    """Minimal SummaryWriter: `add_scalar(tag, value, step)` only."""
+    """Minimal SummaryWriter: `add_scalar` + `add_text`."""
 
     def __init__(self, log_dir: Union[str, pathlib.Path]):
         log_dir = pathlib.Path(log_dir)
@@ -122,6 +143,9 @@ class TensorBoardWriter:
 
     def add_scalar(self, tag: str, value: float, step: int) -> None:
         self._record(_scalar_event(step, tag, value, time.time()))
+
+    def add_text(self, tag: str, text: str, step: int) -> None:
+        self._record(_text_event(step, tag, text, time.time()))
 
     def flush(self) -> None:
         self._f.flush()

@@ -23,7 +23,44 @@ from ..data.tokenizer import CharTokenizer
 from ..eval.metrics import calculate_wer
 from ..objectives import losses
 
-__all__ = ["SpeechTask"]
+__all__ = ["SpeechTask", "evaluate_wer_over_batches"]
+
+
+def evaluate_wer_over_batches(
+    tokenizer: CharTokenizer,
+    batches,
+    logits_fn,
+    pad_rows_to: int = 0,
+) -> Dict[str, float]:
+    """Corpus WER over batches carrying 'transcriptions' via a (possibly
+    jitted/sharded) (features, mask) -> (logits, lengths) closure; greedy
+    argmax decode stays host-side (reference
+    speech_recognition_module.py:233-248). ``pad_rows_to`` pads ragged
+    trailing batches to a fixed row count so bucketed shapes stay static
+    and divisible by the mesh data axis; padded rows are dropped before
+    decoding. Shared by the speech and multitask evaluation paths."""
+    hyps: List[str] = []
+    refs: List[str] = []
+    for batch in batches:
+        feats = batch["features"]
+        mask = batch.get("mask")
+        n = feats.shape[0]
+        if pad_rows_to and n < pad_rows_to:
+            from ..parallel.mesh import pad_batch_rows
+
+            db = {"features": feats}
+            if mask is not None:
+                db["mask"] = mask
+            db = pad_batch_rows(db, pad_rows_to, mask_fill=True)
+            feats, mask = db["features"], db.get("mask")
+        logits, lengths = logits_fn(feats, mask)
+        hyps.extend(
+            tokenizer.decode_batch(
+                np.asarray(logits)[:n], np.asarray(lengths)[:n]
+            )
+        )
+        refs.extend(batch["transcriptions"])
+    return {"wer": calculate_wer(hyps, refs)}
 
 
 @dataclass
@@ -130,33 +167,15 @@ class SpeechTask:
 
         With ``logits_fn`` (a possibly jitted/sharded (features, mask) ->
         (logits, lengths) closure over the train state), the device program
-        is issued once per bucket shape; greedy argmax decode stays host-side
-        (reference speech_recognition_module.py:233-248). ``pad_rows_to``
-        pads ragged trailing batches up to a fixed row count (with all-valid
-        masks over silence) so bucketed shapes stay static and divisible by
-        the mesh data axis; padded rows are dropped before decoding."""
-        hyps: List[str] = []
-        refs: List[str] = []
-        for batch in batches:
-            if logits_fn is None:
+        is issued once per bucket shape (evaluate_wer_over_batches); without
+        one, the eager reference path transcribes per batch."""
+        if logits_fn is None:
+            hyps: List[str] = []
+            refs: List[str] = []
+            for batch in batches:
                 hyps.extend(self.transcribe(params, model_state, batch))
-            else:
-                feats = batch["features"]
-                mask = batch.get("mask")
-                n = feats.shape[0]
-                if pad_rows_to and n < pad_rows_to:
-                    from ..parallel.mesh import pad_batch_rows
-
-                    db = {"features": feats}
-                    if mask is not None:
-                        db["mask"] = mask
-                    db = pad_batch_rows(db, pad_rows_to, mask_fill=True)
-                    feats, mask = db["features"], db.get("mask")
-                logits, lengths = logits_fn(feats, mask)
-                hyps.extend(
-                    self.tokenizer.decode_batch(
-                        np.asarray(logits)[:n], np.asarray(lengths)[:n]
-                    )
-                )
-            refs.extend(batch["transcriptions"])
-        return {"wer": calculate_wer(hyps, refs)}
+                refs.extend(batch["transcriptions"])
+            return {"wer": calculate_wer(hyps, refs)}
+        return evaluate_wer_over_batches(
+            self.tokenizer, batches, logits_fn, pad_rows_to
+        )
