@@ -21,6 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = [
     "create_mesh",
     "batch_sharding",
+    "stacked_batch_sharding",
     "replicated",
     "shard_batch",
     "data_parallel_specs",
@@ -98,11 +99,18 @@ def pad_batch_rows(
     }
 
 
-def shard_batch(batch, mesh: Mesh):
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """For [K, B, ...] stacked batches (steps_per_dispatch chunks): the scan
+    axis replicated, the batch axis sharded over data."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def shard_batch(batch, mesh: Mesh, stacked: bool = False):
     """Device-put a pytree of host arrays with the leading axis sharded over
     the data axis (per-host feeding; XLA handles the rest). Host-only fields
-    are stripped."""
-    sharding = batch_sharding(mesh)
+    are stripped. With ``stacked`` the leaves are [K, B, ...] chunks and the
+    second axis is the sharded one."""
+    sharding = stacked_batch_sharding(mesh) if stacked else batch_sharding(mesh)
     if isinstance(batch, dict):
         batch = strip_host_fields(batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
