@@ -312,6 +312,38 @@ def test_pairs_module_preset_bundles_shard_settings():
     assert cfg["data"]["shards"]["sequential_same_speaker_samples"] == 8
 
 
+def test_reference_shards_presets_compose():
+    """The reference-named shards presets exist with reference-scale values
+    (reference config/data/shards/shards_{voxceleb,librispeech}.yaml), and
+    the reference's queue_size-in-shards knob wins over the dataloader
+    default when set."""
+    from w2v2_speaker_tpu.runtime.experiment import _queue_size
+
+    cfg = load_config(
+        CONFIG_DIR, "train_eval", ["data.shards=shards_voxceleb"]
+    )
+    s = cfg["data"]["shards"]
+    assert s["samples_per_shard"] == 5000
+    assert s["use_gzip_compression"] is True
+    assert _queue_size(cfg) == 1024
+    # the preset is schema-complete: run-type keys at reference defaults
+    # (voxceleb{1,2}.yaml:41-42)
+    assert s["sequential_same_speaker_samples"] == 1
+    assert s["min_unique_speakers_per_shard"] == 500
+
+    cfg = load_config(
+        CONFIG_DIR, "train_eval", ["data.shards=shards_librispeech"]
+    )
+    s = cfg["data"]["shards"]
+    assert s["samples_per_shard"] == 155000
+    assert s["use_gzip_compression"] is False
+    assert _queue_size(cfg) == 200
+
+    # without the shards knob the dataloader group default applies
+    cfg = load_config(CONFIG_DIR, "train_eval", [])
+    assert _queue_size(cfg) == cfg["data"]["dataloader"]["queue_size"]
+
+
 def test_all_pipeline_presets_compose():
     """Every reference pipeline preset name must exist and compose
     (reference config/data/pipeline/*, 8 presets)."""

@@ -182,6 +182,16 @@ def build_augmenter(pipeline_cfg: Dict, seed: int) -> Optional[Augmenter]:
     )
 
 
+def _queue_size(cfg: Dict) -> int:
+    """Sample-queue size for the batch processors. The reference keeps this
+    knob in the shards group (config/data/shards/shards_voxceleb.yaml:16);
+    honor it there when set, else the dataloader group default."""
+    return (
+        cfg["data"]["shards"].get("queue_size")
+        or cfg["data"]["dataloader"]["queue_size"]
+    )
+
+
 def build_data_module(cfg: Dict):
     m = cfg["data"]["module"]
     if m["name"] == "voxceleb":
@@ -224,7 +234,7 @@ def build_data_module(cfg: Dict):
                 ],
                 use_gzip_compression=s["use_gzip_compression"],
                 shuffle_shards=s["shuffle_shards"],
-                queue_size=dl["queue_size"],
+                queue_size=_queue_size(cfg),
                 # the reference README uses data.dataloader.train_batch_size
                 batch_size=dl.get("train_batch_size") or dl["batch_size"],
                 chunk_length_sec=p["chunk_length_sec"],
@@ -239,6 +249,7 @@ def build_data_module(cfg: Dict):
         dm.prepare_data()
         return dm
     if m["name"] == "librispeech":
+        s = cfg["data"]["shards"]
         dl = cfg["data"]["dataloader"]
         split_dirs = {}
         for split, key in [
@@ -256,7 +267,7 @@ def build_data_module(cfg: Dict):
                 shards_dir=pathlib.Path(m["shards_dir"]),
                 train_max_num_samples=dl["train_max_num_samples"],
                 max_batch_size=dl.get("max_batch_size"),
-                max_queue_size=dl["queue_size"],
+                max_queue_size=_queue_size(cfg),
                 pad_to_multiple=dl["pad_to_multiple"],
                 tokenizer_name=(cfg.get("tokenizer") or {}).get(
                     "name", "corpus_char"
@@ -1261,7 +1272,7 @@ def _run_speaker(cfg, dm, task: SpeakerTask, mesh, logger) -> float:
 
         return TripletBatchProcessor(
             max_batch_size=dl["batch_size"],
-            max_queue_size=dl["queue_size"],
+            max_queue_size=_queue_size(cfg),
             collate_fn=collate_speaker_batch,
             seed=cfg["seed"] + epoch * 9973,
         )
@@ -1343,7 +1354,7 @@ def _run_paired(cfg, dm, task: PairedSpeakerTask, mesh, logger) -> float:
     def train_iter(epoch=0):
         proc = PairedBatchProcessor(
             batch_size=dl["batch_size"],
-            max_queue_size=cfg["data"]["dataloader"]["queue_size"],
+            max_queue_size=_queue_size(cfg),
             mode="generate",
             sequential_same_speaker_samples=k,
             collate_fn=collate_paired_batch,
@@ -1368,7 +1379,7 @@ def _run_paired(cfg, dm, task: PairedSpeakerTask, mesh, logger) -> float:
     def score_pairs(state, pairs, split):
         proc = PairedBatchProcessor(
             batch_size=dl["batch_size"],
-            max_queue_size=max(dl["queue_size"], len(pairs) + 1),
+            max_queue_size=max(_queue_size(cfg), len(pairs) + 1),
             mode="reproduce",
             sequential_same_speaker_samples=1,
             collate_fn=lambda s: collate_paired_batch(
