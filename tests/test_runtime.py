@@ -150,6 +150,52 @@ def test_run_dummy_experiment(corpus, tmp_path):
     assert 0.0 <= objective <= 1.0
 
 
+def test_fit_eval_model_flags(corpus, tmp_path):
+    """fit_model/eval_model gate the driver's train and test phases
+    independently (reference main.py:496-528 + train_eval.yaml:40-44):
+    eval_model=false trains but returns a null objective; fit_model=false +
+    load_network_from_checkpoint is the eval-only flow and must reproduce
+    the trained weights' test objective without training."""
+    import run as run_cli
+
+    net = [
+        "network=xvector",
+        "network.tdnn_channels=[16,16,32]",
+        "network.tdnn_kernel_sizes=[5,3,1]",
+        "network.tdnn_dilations=[1,2,1]",
+        "network.lin_neurons=16",
+        "network.n_mels=16",
+        "network.in_channels=16",
+        "trainer.max_steps=6",
+        "trainer.val_check_interval=3",
+    ]
+    # train-only: no test phase, null objective, but checkpoints exist
+    objective = run_cli.main(
+        _common_overrides(corpus, tmp_path, net + ["eval_model=false"])
+    )
+    assert objective is None
+    best = tmp_path / "ckpt" / "last"
+    assert best.exists()
+
+    # eval-only on the saved weights: no training (max_steps honored at 0
+    # train batches), objective reproduced from the warm-started network
+    objective = run_cli.main(
+        _common_overrides(
+            corpus,
+            tmp_path,
+            net
+            + [
+                "fit_model=false",
+                f"load_network_from_checkpoint={best}",
+                f"trainer.checkpoint_dir={tmp_path / 'ckpt_evalonly'}",
+            ],
+        )
+    )
+    assert 0.0 <= objective <= 1.0
+    # eval-only must not have trained anything
+    assert not (tmp_path / "ckpt_evalonly" / "last").exists()
+
+
 def test_run_xvector_small(corpus, tmp_path):
     import run as run_cli
 

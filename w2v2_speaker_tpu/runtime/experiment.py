@@ -726,7 +726,11 @@ def extract_embeddings(
 
 # ------------------------------------------------------------------- driver
 
-def run_train_eval(cfg: Dict) -> float:
+def run_train_eval(cfg: Dict) -> Optional[float]:
+    """Driver (reference main.py:418-551). `fit_model`/`eval_model` gate the
+    train and test phases independently: fit_model=false + eval_model=true +
+    load_network_from_checkpoint=... is the reference's eval-only flow, and
+    eval_model=false returns None (main.py:516-528,550-551)."""
     seed = int(cfg["seed"])
     np.random.seed(seed)
 
@@ -937,6 +941,12 @@ class EarlyStopping:
 
 def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
                 loss_fn_kind="speaker", on_step=None):
+    if not cfg.get("fit_model", True):
+        # reference main.py:496-497 + 525-528: fit_model=false skips
+        # training AND the best-checkpoint restore — evaluation (if any)
+        # runs on the module's current weights, e.g. warm-started via
+        # load_network_from_checkpoint
+        return state, None
     trainer = cfg["trainer"]
     max_steps = trainer["max_steps"]
     val_every = trainer.get("val_check_interval") or max_steps
@@ -1172,6 +1182,19 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
     return state, ckpt
 
 
+def _restore_best(state, ckpt):
+    """Post-fit checkpoint selection (reference main.py:517-528): with a fit
+    run, test the best-val checkpoint; in eval-only mode (`ckpt is None`,
+    fit_model=false) or when no validation epoch ever ran, test the current
+    module weights."""
+    if ckpt is None:
+        return state
+    try:
+        return ckpt.restore(state, name="best")
+    except FileNotFoundError:
+        return state
+
+
 def _run_speaker(cfg, dm, task: SpeakerTask, mesh, logger) -> float:
     dl = cfg["data"]["dataloader"]
     n_data = mesh.shape["data"]
@@ -1290,10 +1313,10 @@ def _run_speaker(cfg, dm, task: SpeakerTask, mesh, logger) -> float:
     )
 
     # ---- test on best checkpoint (full utterances)
-    try:
-        state = ckpt.restore(state, name="best")
-    except FileNotFoundError:
-        pass
+    state = _restore_best(state, ckpt)
+    if not cfg.get("eval_model", True):
+        logger.close()
+        return None
     test_pairs = dm.test_evaluation_pairs()
     if not test_pairs:
         final = validate(state)
@@ -1416,10 +1439,10 @@ def _run_paired(cfg, dm, task: PairedSpeakerTask, mesh, logger) -> float:
         cfg, task, state, mesh, logger, train_iter, validate,
         loss_fn_kind="paired",
     )
-    try:
-        state = ckpt.restore(state, name="best")
-    except FileNotFoundError:
-        pass
+    state = _restore_best(state, ckpt)
+    if not cfg.get("eval_model", True):
+        logger.close()
+        return None
     test_pairs = dm.test_evaluation_pairs()
     if not test_pairs:
         final = validate(state)
@@ -1513,10 +1536,10 @@ def _run_speech(cfg, dm, task: SpeechTask, mesh, logger) -> float:
         cfg, task, state, mesh, logger, train_iter, validate,
         loss_fn_kind="speech",
     )
-    try:
-        state = ckpt.restore(state, name="best")
-    except FileNotFoundError:
-        pass
+    state = _restore_best(state, ckpt)
+    if not cfg.get("eval_model", True):
+        logger.close()
+        return None
     results = {}
     for split in ("test_clean", "test_other"):
         if split in dm.cfg.split_dirs:
@@ -1672,10 +1695,10 @@ def _run_multitask(cfg, dm, task, mesh, logger) -> float:
         cfg, task, state, mesh, logger, train_iter, validate,
         loss_fn_kind="multitask",
     )
-    try:
-        state = ckpt.restore(state, name="best")
-    except FileNotFoundError:
-        pass
+    state = _restore_best(state, ckpt)
+    if not cfg.get("eval_model", True):
+        logger.close()
+        return None
 
     results = {}
     test_splits = [
