@@ -88,5 +88,28 @@ def main():
     )
 
 
+def _main_with_retry():
+    """Re-exec on transient transport failures (fresh process => fresh
+    backend init; the tunnel has been observed to drop and return within
+    minutes — CLAUDE.md trap #10). Bounded so a hard outage still fails."""
+    import os
+    import sys
+
+    attempt = int(os.environ.get("BENCH_ATTEMPT", "0"))
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 - any backend/transport error
+        if attempt >= 2:
+            raise
+        print(
+            f"bench: attempt {attempt + 1} failed ({exc!r}); "
+            "retrying in 60 s",
+            file=sys.stderr,
+        )
+        time.sleep(60)
+        os.environ["BENCH_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retry()
