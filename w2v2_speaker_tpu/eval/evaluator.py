@@ -35,6 +35,7 @@ __all__ = [
     "EmbeddingSample",
     "SpeakerRecognitionEvaluator",
     "CosineDistanceEvaluator",
+    "ASNormCosineEvaluator",
     "compute_mean_std",
     "center",
     "length_norm",
@@ -206,15 +207,7 @@ class CosineDistanceEvaluator(SpeakerRecognitionEvaluator):
         if np.asarray(first).ndim == 2:
             return self._non_pooled_scores(pairs)
 
-        left = np.stack([np.asarray(a.embedding) for a, _ in pairs])
-        right = np.stack([np.asarray(b.embedding) for _, b in pairs])
-        if self.center_before_scoring:
-            left = center(left, self.mean, self.std)
-            right = center(right, self.mean, self.std)
-        if self.length_norm_before_scoring:
-            left = length_norm(left)
-            right = length_norm(right)
-        return _cosine_rowwise(left, right).tolist()
+        return self._pooled_pair_scores(pairs).tolist()
 
     def _ensemble_scores(self, pairs):
         num_ensembles = len(pairs[0][0].embedding)
@@ -240,6 +233,22 @@ class CosineDistanceEvaluator(SpeakerRecognitionEvaluator):
             total += np.asarray(self._compute_prediction_scores(sub))
         return (total / num_ensembles).tolist()
 
+    def _pooled_pair_scores(self, pairs) -> np.ndarray:
+        """Raw cosine over pooled [D] pairs after this evaluator's
+        centering/length-norm preprocessing (the pooled branch of
+        `_compute_prediction_scores`, shared with AS-norm)."""
+        left = np.stack([np.asarray(a.embedding) for a, _ in pairs])
+        right = np.stack([np.asarray(b.embedding) for _, b in pairs])
+        left, right = self._preprocess(left), self._preprocess(right)
+        return _cosine_rowwise(left, right)
+
+    def _preprocess(self, embeddings: np.ndarray) -> np.ndarray:
+        if self.center_before_scoring:
+            embeddings = center(embeddings, self.mean, self.std)
+        if self.length_norm_before_scoring:
+            embeddings = length_norm(embeddings)
+        return embeddings
+
     def _non_pooled_scores(self, pairs, max_frames: int = 50, seed: int = 0):
         """Mean pairwise cosine over (up to) 50x50 random frame subsets."""
         rng = np.random.default_rng(seed)
@@ -256,3 +265,110 @@ class CosineDistanceEvaluator(SpeakerRecognitionEvaluator):
             )
             scores.append(float(sim.mean()))
         return scores
+
+
+class ASNormCosineEvaluator(CosineDistanceEvaluator):
+    """Cosine scoring with adaptive symmetric score normalization (AS-Norm).
+
+    Beyond-reference capability (the reference stops at raw/centered cosine,
+    `cosine_distance.py:66-243`): each trial's cosine score is z-normalized
+    against the score distributions of its two sides vs an impostor cohort,
+    using only each side's top-K most similar cohort models — AS-Norm1 of
+    Matejka et al. (Interspeech 2017), the standard calibration step in
+    modern VoxCeleb recipes:
+
+        s' = 1/2 * ( (s - mu_e) / sd_e  +  (s - mu_t) / sd_t )
+
+    Cohort models are per-speaker means of the same training-embedding
+    buffer that already feeds centering (reference
+    speaker_recognition_module.py:79,521-561 — same data, one extra
+    [sides, cohort] matmul + top-K, no per-trial python loop).
+
+    The normalized score is squashed through the monotone map s/(1+|s|) so
+    the framework's (s+1)/2 clip (speaker_recognition_evaluator.py:81, a
+    preserved reference quirk) stays bijective on it — EER/minDCF are
+    rank-based, so they are exactly those of the raw AS-Norm scores.
+    """
+
+    def __init__(
+        self,
+        cohort_topk: int = 300,
+        center_before_scoring: bool = False,
+        length_norm_before_scoring: bool = True,
+        max_num_training_samples: int = 2000,
+    ):
+        super().__init__(
+            center_before_scoring=center_before_scoring,
+            length_norm_before_scoring=length_norm_before_scoring,
+            max_num_training_samples=max_num_training_samples,
+        )
+        self.cohort_topk = int(cohort_topk)
+        self.cohort: Optional[np.ndarray] = None
+
+    def fit_parameters(self, embedding_tensors, label_tensors=None):
+        super().fit_parameters(embedding_tensors, label_tensors)
+        stacked = np.stack(list(embedding_tensors), axis=0).astype(np.float64)
+        if label_tensors is not None and len(label_tensors) == len(stacked):
+            labels = np.asarray(list(label_tensors))
+            models = np.stack(
+                [stacked[labels == lab].mean(axis=0)
+                 for lab in np.unique(labels)]
+            )
+        else:  # no labels: every sample is its own cohort model
+            models = stacked
+        if self.center_before_scoring:
+            models = center(models, self.mean, self.std)
+        # cohort is always length-normed: the [sides, cohort] dot below is
+        # then exactly cosine similarity
+        self.cohort = length_norm(models)
+
+    def reset_parameters(self):
+        super().reset_parameters()
+        self.cohort = None
+
+    def _cohort_stats(
+        self, sides: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-K cohort-similarity mean/std per row of `sides` [P, D]."""
+        # reserve one slot so a masked self-match can never be forced into
+        # the top-K (predict.py fits the cohort from the extraction set
+        # itself, where every side has an exact twin in the cohort)
+        k = min(self.cohort_topk, max(self.cohort.shape[0] - 1, 1))
+        sims = length_norm(sides) @ self.cohort.T  # [P, N] cosine
+        # exclude self/duplicate matches: -2 is below any real cosine, so
+        # they lose every top-K contest without producing inf/nan stats
+        sims = np.where(sims >= 1.0 - 1e-6, -2.0, sims)
+        top = (
+            np.partition(sims, sims.shape[1] - k, axis=1)[:, -k:]
+            if k < sims.shape[1]
+            else sims
+        )
+        mu = top.mean(axis=1)
+        sd = top.std(axis=1, ddof=1) if k > 1 else np.ones_like(mu)
+        return mu, np.maximum(sd, 1e-6)
+
+    def _compute_prediction_scores(self, pairs):
+        first = pairs[0][0].embedding
+        if isinstance(first, list) or np.asarray(first).ndim == 2:
+            warnings.warn(
+                "AS-norm supports pooled [D] embeddings only; "
+                "falling back to plain cosine scoring"
+            )
+            return super()._compute_prediction_scores(pairs)
+        if self.cohort is None or self.cohort.shape[0] < 2:
+            raise ValueError(
+                "ASNormCosineEvaluator needs a fitted cohort: set "
+                "evaluator.max_num_training_samples > 0 so fit_parameters "
+                "receives training embeddings"
+            )
+        left = self._preprocess(
+            np.stack([np.asarray(a.embedding) for a, _ in pairs])
+        )
+        right = self._preprocess(
+            np.stack([np.asarray(b.embedding) for _, b in pairs])
+        )
+        s = _cosine_rowwise(left, right)
+        mu_l, sd_l = self._cohort_stats(left)
+        mu_r, sd_r = self._cohort_stats(right)
+        z = 0.5 * ((s - mu_l) / sd_l + (s - mu_r) / sd_r)
+        return (z / (1.0 + np.abs(z))).tolist()

@@ -39,6 +39,7 @@ from ..data.samples import collate_paired_batch
 from ..data.batching import PairedBatchProcessor
 from ..eval.backends import LDAEvaluator, PLDAEvaluator
 from ..eval.evaluator import (
+    ASNormCosineEvaluator,
     CosineDistanceEvaluator,
     EmbeddingSample,
     SpeakerRecognitionEvaluator,
@@ -290,6 +291,15 @@ def build_evaluator(cfg: Dict) -> SpeakerRecognitionEvaluator:
         return CosineDistanceEvaluator(
             center_before_scoring=e["center_before_scoring"],
             length_norm_before_scoring=e["length_norm_before_scoring"],
+            max_num_training_samples=e["max_num_training_samples"],
+        )
+    if e["name"] == "cosine_distance_asnorm":
+        return ASNormCosineEvaluator(
+            cohort_topk=int(e.get("cohort_topk", 300)),
+            center_before_scoring=e.get("center_before_scoring", False),
+            length_norm_before_scoring=e.get(
+                "length_norm_before_scoring", True
+            ),
             max_num_training_samples=e["max_num_training_samples"],
         )
     if e["name"] == "lda":
@@ -726,6 +736,19 @@ def extract_embeddings(
 
 # ------------------------------------------------------------------- driver
 
+def _validate_int8_config(cfg: Dict) -> None:
+    """int8 matmuls have no gradient path (round() is zero-gradient) —
+    training would silently never update the dense layers. Inference-only
+    flows are fine: predict.py, and the eval-only driver path
+    (fit_model=false + warm start)."""
+    if cfg["network"].get("int8_matmuls") and cfg.get("fit_model", True):
+        raise ValueError(
+            "network.int8_matmuls is inference-only; training recipes "
+            "must keep bf16/f32 matmuls (use fit_model=false for an "
+            "int8 eval-only run, or predict.py for extraction)"
+        )
+
+
 def run_train_eval(cfg: Dict) -> Optional[float]:
     """Driver (reference main.py:418-551). `fit_model`/`eval_model` gate the
     train and test phases independently: fit_model=false + eval_model=true +
@@ -734,14 +757,7 @@ def run_train_eval(cfg: Dict) -> Optional[float]:
     seed = int(cfg["seed"])
     np.random.seed(seed)
 
-    if cfg["network"].get("int8_matmuls"):
-        # quantized matmuls have no gradient path (round() is
-        # zero-gradient) — training would silently never update the dense
-        # layers. predict.py is the int8 surface.
-        raise ValueError(
-            "network.int8_matmuls is inference-only (predict.py); "
-            "training recipes must keep bf16/f32 matmuls"
-        )
+    _validate_int8_config(cfg)
 
     # TPU-optimized PRNG for dropout/layerdrop mask generation: threefry is
     # VPU-expensive; rbg measured 13% faster end-to-end train steps on v5e.
@@ -1481,6 +1497,50 @@ def _make_transcription_tracker(
     return track
 
 
+def _make_wer_fn(dm, task, jit_logits, eval_bs: int, eval_rows: int):
+    """Shared val/test WER helper for the speech-bearing families
+    (`_run_speech`, `_run_multitask`): collect a split's token-budget
+    batches, run the jitted mesh-sharded logits fn per bucket shape,
+    decode + WER host-side (reference speech_recognition_module.py:178-231)."""
+
+    def _wer(state, split, limit=None):
+        batches = []
+        for i, b in enumerate(dm.eval_batches(split, batch_size=eval_bs)):
+            if limit and i >= limit:
+                break
+            batches.append(b)
+        if not batches:
+            return None
+        return task.evaluate_wer(
+            state.params,
+            state.model_state,
+            batches,
+            logits_fn=lambda feats, mask: jit_logits(state, feats, mask),
+            pad_rows_to=eval_rows,
+        )["wer"]
+
+    return _wer
+
+
+def _embed_feature_batch(embed, state, db, n_data: int) -> np.ndarray:
+    """Pad a feature batch's rows to a multiple of the mesh data axis, run
+    the sharded embed fn, slice back to the true row count."""
+    feats, mask = db["features"], db.get("mask")
+    if mask is None:
+        mask = np.ones(feats.shape[:2], bool)
+    padded = pad_batch_rows(
+        {"features": feats, "mask": mask},
+        -(-feats.shape[0] // n_data) * n_data,
+    )
+    return np.asarray(
+        embed(
+            state,
+            jnp.asarray(padded["features"]),
+            jnp.asarray(padded["mask"]),
+        )
+    )[: feats.shape[0]]
+
+
 def _run_speech(cfg, dm, task: SpeechTask, mesh, logger) -> float:
     raw_example = next(iter(dm.train_batches()))
     example = strip_host_fields(raw_example)
@@ -1498,22 +1558,7 @@ def _run_speech(cfg, dm, task: SpeechTask, mesh, logger) -> float:
     track_transcription = _make_transcription_tracker(
         raw_example, task.tokenizer, jit_logits, eval_rows, logger
     )
-
-    def _wer(state, split, limit=None):
-        batches = []
-        for i, b in enumerate(dm.eval_batches(split, batch_size=eval_bs)):
-            if limit and i >= limit:
-                break
-            batches.append(b)
-        if not batches:
-            return None
-        return task.evaluate_wer(
-            state.params,
-            state.model_state,
-            batches,
-            logits_fn=lambda feats, mask: jit_logits(state, feats, mask),
-            pad_rows_to=eval_rows,
-        )["wer"]
+    _wer = _make_wer_fn(dm, task, jit_logits, eval_bs, eval_rows)
 
     def validate(state):
         track_transcription(state)
@@ -1589,42 +1634,16 @@ def _run_multitask(cfg, dm, task, mesh, logger) -> float:
         dm.val_evaluation_pairs(val_splits[0], num_pairs) if val_splits else []
     )
 
-    def _wer(state, split, limit=None):
-        batches = []
-        for i, b in enumerate(dm.eval_batches(split, batch_size=eval_bs)):
-            if limit and i >= limit:
-                break
-            batches.append(b)
-        if not batches:
-            return None
-        return task.evaluate_wer(
-            state.params,
-            state.model_state,
-            batches,
-            logits_fn=lambda feats, mask: jit_logits(state, feats, mask),
-            pad_rows_to=eval_rows,
-        )["wer"]
+    _wer = _make_wer_fn(dm, task, jit_logits, eval_bs, eval_rows)
 
     def _embeddings(state, split, limit=None):
         samples: List[EmbeddingSample] = []
         for i, batch in enumerate(dm.eval_batches(split, batch_size=eval_bs)):
             if limit and i >= limit:
                 break
-            db = strip_host_fields(batch)
-            feats, mask = db["features"], db.get("mask")
-            if mask is None:
-                mask = np.ones(feats.shape[:2], bool)
-            padded = pad_batch_rows(
-                {"features": feats, "mask": mask},
-                -(-feats.shape[0] // n_data) * n_data,
+            e = _embed_feature_batch(
+                embed, state, strip_host_fields(batch), n_data
             )
-            e = np.asarray(
-                embed(
-                    state,
-                    jnp.asarray(padded["features"]),
-                    jnp.asarray(padded["mask"]),
-                )
-            )[: len(batch["keys"])]
             samples.extend(
                 EmbeddingSample(k, e[j]) for j, k in enumerate(batch["keys"])
             )
@@ -1648,24 +1667,10 @@ def _run_multitask(cfg, dm, task, mesh, logger) -> float:
             tr_embs, tr_labels = [], []
             for batch in dm.train_batches():
                 db = strip_host_fields(batch)
-                feats, mask = db["features"], db.get("mask")
-                if mask is None:
-                    mask = np.ones(feats.shape[:2], bool)
-                padded = pad_batch_rows(
-                    {"features": feats, "mask": mask},
-                    -(-feats.shape[0] // n_data) * n_data,
-                )
-                n = feats.shape[0]
-                e = np.asarray(
-                    embed(
-                        state,
-                        jnp.asarray(padded["features"]),
-                        jnp.asarray(padded["mask"]),
-                    )
-                )[:n]
+                e = _embed_feature_batch(embed, state, db, n_data)
                 tr_embs.extend(e)
                 tr_labels.extend(
-                    np.asarray(db["speaker_labels"]).tolist()[:n]
+                    np.asarray(db["speaker_labels"]).tolist()[: len(e)]
                 )
                 if len(tr_embs) >= max_tr:
                     break

@@ -25,7 +25,7 @@ import numpy as np
 from ..data.io import load_raw_audio
 from ..data.normalize import normalize_waveform
 from ..data.samples import SpeakerSample
-from ..eval.evaluator import EmbeddingSample
+from ..eval.evaluator import ASNormCosineEvaluator, EmbeddingSample
 from ..train.steps import make_embed_fn
 from ..parallel.mesh import create_mesh
 from .experiment import (
@@ -107,6 +107,11 @@ def run_predictions(cfg: Dict) -> pathlib.Path:
         )
         for a, b in pairs
     ]
+    if isinstance(evaluator, ASNormCosineEvaluator):
+        # no training-embedding buffer here: the extraction set itself is
+        # the impostor cohort (each side's exact twin is excluded from its
+        # top-K inside _cohort_stats)
+        evaluator.fit_parameters(list(cached.values()))
     scores = np.asarray(
         evaluator._compute_prediction_scores(embedding_pairs)
     )
