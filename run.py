@@ -68,6 +68,13 @@ def _run_search(overrides, load_config, run_train_eval) -> float:
         raise SystemExit(
             "search preset has no search_space (use +search=<preset>)"
         )
+    if not base_cfg.get("eval_model", True):
+        # the sampler learns from the eval objective; fail before burning
+        # n_trials of training compute on runs that can't report one
+        raise SystemExit(
+            "hyperparameter search requires eval_model=true "
+            "(the objective is the evaluation EER/WER)"
+        )
     sampler = TPESampler(
         scfg["search_space"],
         seed=int(scfg.get("seed", 123)),
@@ -84,11 +91,15 @@ def _run_search(overrides, load_config, run_train_eval) -> float:
         cfg = load_config(CONFIG_DIR, "train_eval", overrides + trial_ovs)
         cfg["trainer"]["checkpoint_dir"] = f"{base_ckpt}/trial{i}"
         try:
-            objective = float(run_train_eval(cfg))
+            objective = run_train_eval(cfg)
+            objective = float(objective) if objective is not None else None
         except (FloatingPointError, ValueError, RuntimeError) as e:
             # failed trials are pruned, not fatal (the reference's sweeps
             # survive via sentinel EER fallbacks, eval_metrics sentinels)
             print(f"trial {i} failed: {e!r}")
+            continue
+        if objective is None:
+            print(f"trial {i} produced no objective; pruned")
             continue
         sampler.tell(params, objective)
         print(f"trial {i} objective: {objective}")
@@ -164,16 +175,17 @@ def main(argv=None) -> float:
             # across unrelated experiment dirs.
             jobs = []
             for i, run_overrides in enumerate(runs):
-                explicit = [
-                    ov.split("=", 1)[1]
-                    for ov in run_overrides
-                    if ov.split("=", 1)[0] == "trainer.checkpoint_dir"
-                ]
-                ckpt = (
-                    explicit[-1]
-                    if explicit
-                    else "${log_folder}/${experiment_name}/checkpoints"
+                # compose the run's config WITHOUT resolving so a dir pinned
+                # anywhere (trainer YAML, experiment preset, or CLI) is
+                # honored, while the default's ${...} template still
+                # resolves inside each array task
+                raw = load_config(
+                    CONFIG_DIR,
+                    "train_eval",
+                    run_overrides,
+                    resolve_interpolations=False,
                 )
+                ckpt = str(raw["trainer"]["checkpoint_dir"])
                 jobs.append(
                     run_overrides
                     + [f"trainer.checkpoint_dir={ckpt}/job{i}"]
@@ -205,9 +217,13 @@ def main(argv=None) -> float:
         )
         results.append((run_overrides, run_train_eval(cfg)))
     print("=== multirun summary (sorted by objective)")
-    results.sort(key=lambda r: r[1])
+    # eval_model=false jobs return None (train-only sweeps): sort them last
+    results.sort(
+        key=lambda r: (r[1] is None, r[1] if r[1] is not None else 0.0)
+    )
     for run_overrides, objective in results:
-        print(f"{objective:.5f}  {run_overrides}")
+        shown = f"{objective:.5f}" if objective is not None else "None   "
+        print(f"{shown}  {run_overrides}")
     best = results[0][1]
     print(f"objective: {best}")
     return best

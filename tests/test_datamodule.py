@@ -186,6 +186,43 @@ def test_prefetcher_propagates_errors():
         list(it)
 
 
+def test_prefetcher_abandonment_stops_worker_and_closes_source():
+    """Breaking out of a Prefetcher (validation loops with limit_val,
+    `next(iter(train_batches()))`) must not leak a blocked worker thread or
+    keep the source generator's shard readers open."""
+    import threading
+    import time as _time
+
+    closed = threading.Event()
+
+    def endless():
+        try:
+            i = 0
+            while True:
+                yield i
+                i += 1
+        finally:
+            closed.set()
+
+    before = threading.active_count()
+    it = iter(Prefetcher(lambda: endless(), depth=2))
+    assert next(it) == 0
+    it.close()  # what an abandoned `for ... break` triggers via GC
+
+    deadline = _time.time() + 5.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.02)
+    assert threading.active_count() <= before, "worker thread leaked"
+    assert closed.is_set(), "source generator was not closed"
+
+
+def test_prefetcher_full_queue_completion_not_stuck():
+    """Sentinel must still arrive when the producer finishes while the
+    queue is full and the consumer drains slowly."""
+    p = Prefetcher(lambda: iter(range(10)), depth=1)
+    assert list(p) == list(range(10))
+
+
 # ---------------------------------------------------------------------------
 # Multi-corpus composition (train vox2-dev / test all-vox1 — the reference's
 # headline protocol, voxceleb.py:1442-1520 + voxceleb2_test_hard.yaml:7-24)

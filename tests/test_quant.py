@@ -131,3 +131,20 @@ def test_train_driver_rejects_int8():
                 "trainer": {},
             }
         )
+
+
+def test_int8_guard_allows_eval_only_flow():
+    """fit_model=false (eval-only warm-start, the driver's inference flow)
+    must be allowed to quality-check int8 through the test/EER pipeline."""
+    import pytest
+
+    from w2v2_speaker_tpu.runtime.experiment import _validate_int8_config
+
+    _validate_int8_config(
+        {"network": {"int8_matmuls": True}, "fit_model": False}
+    )
+    _validate_int8_config({"network": {}, "fit_model": True})
+    with pytest.raises(ValueError, match="inference-only"):
+        _validate_int8_config(
+            {"network": {"int8_matmuls": True}, "fit_model": True}
+        )

@@ -196,6 +196,60 @@ def test_fit_eval_model_flags(corpus, tmp_path):
     assert not (tmp_path / "ckpt_evalonly" / "last").exists()
 
 
+def test_run_xvector_asnorm_evaluator(corpus, tmp_path):
+    """evaluator=cosine_distance_asnorm through the full driver: training
+    embeddings + labels feed the cohort fit, val/test EER comes from
+    AS-normalized scores (beyond-reference capability)."""
+    import run as run_cli
+
+    objective = run_cli.main(
+        _common_overrides(
+            corpus,
+            tmp_path,
+            [
+                "network=xvector",
+                "network.tdnn_channels=[16,16,32]",
+                "network.tdnn_kernel_sizes=[5,3,1]",
+                "network.tdnn_dilations=[1,2,1]",
+                "network.lin_neurons=16",
+                "network.n_mels=16",
+                "network.in_channels=16",
+                "evaluator=cosine_distance_asnorm",
+                "evaluator.cohort_topk=4",
+                "evaluator.max_num_training_samples=24",
+                "trainer.max_steps=6",
+                "trainer.val_check_interval=3",
+            ],
+        )
+    )
+    assert 0.0 <= objective <= 1.0
+
+
+def test_multirun_train_only_summary(corpus, tmp_path, capsys):
+    """A train-only grid (`-m ... eval_model=false`) returns None objectives;
+    the multirun summary must report them instead of crashing after all the
+    training compute was spent."""
+    import run as run_cli
+
+    best = run_cli.main(
+        ["-m"]
+        + _common_overrides(
+            corpus,
+            tmp_path,
+            [
+                "+experiment=speaker_dummy",
+                "trainer.max_steps=4",
+                "trainer.val_check_interval=4",
+                "seed=3,4",
+                "eval_model=false",
+            ],
+        )
+    )
+    assert best is None
+    out = capsys.readouterr().out
+    assert "multirun summary" in out
+
+
 def test_run_xvector_small(corpus, tmp_path):
     import run as run_cli
 
@@ -283,6 +337,43 @@ def test_predict_cli(corpus, tmp_path):
         score, f1, f2 = line.split(" ")
         assert 0.0 <= float(score) <= 1.0
         assert f1.endswith(".wav")
+
+
+def test_predict_cli_asnorm(corpus, tmp_path):
+    """predict.py with evaluator=cosine_distance_asnorm: the extraction set
+    itself serves as the impostor cohort (self-matches excluded)."""
+    import predict as predict_cli
+
+    wav_dir, trials = corpus
+    pair_file = tmp_path / "pairs_asnorm.txt"
+    pair_file.write_text(
+        "id00000/yt0/00000.wav id00000/yt0/00001.wav\n"
+        "id00000/yt0/00000.wav id00003/yt1/00002.wav\n"
+        "id00001/yt0/00000.wav id00002/yt1/00001.wav\n"
+    )
+    score_file = predict_cli.main(
+        [
+            "network=xvector",
+            "network.tdnn_channels=[24,24,48]",
+            "network.tdnn_kernel_sizes=[5,3,1]",
+            "network.tdnn_dilations=[1,2,1]",
+            "network.lin_neurons=24",
+            "network.n_mels=24",
+            "network.in_channels=24",
+            "network.explicit_num_speakers=4",
+            f"predict_folder_path={wav_dir}",
+            f"pair_prediction_path={pair_file}",
+            "evaluator=cosine_distance_asnorm",
+            "evaluator.cohort_topk=3",
+            "data.dataloader.test_batch_size=2",
+            "data.dataloader.test_pad_to_multiple=8000",
+        ]
+    )
+    lines = score_file.read_text().splitlines()
+    assert len(lines) == 3
+    for line in lines:
+        score, f1, f2 = line.split(" ")
+        assert 0.0 <= float(score) <= 1.0
 
 
 def test_voxceleb2_test_hard_protocol_end_to_end(tmp_path):

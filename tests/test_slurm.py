@@ -91,3 +91,34 @@ def test_run_cli_slurm_launcher_renders_grid(tmp_path, capsys, monkeypatch):
     # with array_parallelism > 1 must not clobber each other's checkpoints)
     for i in range(3):
         assert f"trainer.checkpoint_dir={tmp_path / 'ckpt'}/job{i}" in text
+
+
+def test_run_cli_slurm_default_ckpt_stays_unresolved(
+    tmp_path, monkeypatch, capsys
+):
+    """Without a pinned checkpoint dir, the per-task override must forward
+    the config's raw `${...}` template so each array task resolves its OWN
+    `${random_uuid:}` experiment name (resolving at submit time would
+    scatter one task's checkpoints across another's experiment dir)."""
+    import pathlib as _pl
+    import sys
+
+    sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
+    import run as run_cli
+
+    monkeypatch.setenv("LOG_FOLDER", str(tmp_path / "logs"))
+    monkeypatch.setenv("DATA_FOLDER", str(tmp_path / "data"))
+    run_cli.main(
+        [
+            "-m",
+            "hydra/launcher=slurm",
+            f"hydra.launcher.submitit_folder={tmp_path / 'slurm'}",
+            "+experiment=speaker_dummy",
+            "seed=1,2",
+        ]
+    )
+    text = (tmp_path / "slurm" / "sweep.sbatch").read_text()
+    assert (
+        "trainer.checkpoint_dir="
+        "${log_folder}/${experiment_name}/checkpoints/job0" in text
+    )

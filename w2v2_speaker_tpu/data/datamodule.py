@@ -116,25 +116,53 @@ class Prefetcher:
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.depth)
         sentinel = object()
         error: List[BaseException] = []
+        stop = threading.Event()
 
         def worker():
+            gen = self.gen_fn()
             try:
-                for item in self.gen_fn():
-                    q.put(item)
+                for item in gen:
+                    # bounded put so an abandoned consumer (`break` out of
+                    # the loop, `next(iter(...))`) can't leave this thread
+                    # blocked on a full queue forever — validation loops
+                    # with limit_val break out every val_check_interval
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue_mod.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # surfaced in the consumer
                 error.append(e)
             finally:
-                q.put(sentinel)
+                # close shard readers/file handles deterministically
+                close = getattr(gen, "close", None)
+                if close is not None:
+                    close()
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue_mod.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    return
+                yield item
+        finally:
+            # consumer abandoned (GeneratorExit) or finished: release the
+            # worker and wait so its pipeline state is fully torn down
+            stop.set()
+            t.join(timeout=5.0)
 
 
 class ParallelMap:

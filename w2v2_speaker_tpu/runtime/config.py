@@ -277,9 +277,15 @@ def load_config(
     config_dir: pathlib.Path | str,
     config_name: str = "train_eval",
     overrides: Optional[Sequence[str]] = None,
+    resolve_interpolations: bool = True,
 ) -> Dict:
     """Compose `<config_dir>/<config_name>.yaml` with its defaults list,
-    apply CLI overrides, resolve interpolations."""
+    apply CLI overrides, resolve interpolations.
+
+    `resolve_interpolations=False` returns the composed tree with `${...}`
+    strings intact — used by launchers that must forward values for the
+    *launched* process to resolve (e.g. per-array-task `${random_uuid:}`
+    experiment names, run.py SLURM path)."""
     config_dir = pathlib.Path(config_dir)
     root_file = _read_yaml(config_dir / f"{config_name}.yaml")
     root_file.pop("__global_package__", None)
@@ -291,6 +297,8 @@ def load_config(
     cfg = _deep_merge(cfg, root_file)
     cfg = apply_overrides(cfg, overrides or [], config_dir, group_choices)
     cfg["__groups__"] = dict(group_choices)
+    if not resolve_interpolations:
+        return cfg
     cfg["__random_uuid__"] = str(uuid.uuid4())  # one uuid per compose
     resolved = resolve(cfg, cfg)
     resolved.pop("__random_uuid__", None)

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..parallel.mesh import batch_sharding, replicated
+from ..parallel.mesh import batch_sharding, replicated, stacked_batch_sharding
 from .speaker_task import SpeakerTask
 from .state import TrainState
 
@@ -142,7 +142,7 @@ def make_train_step(
         batch_sh = batch_sharding(mesh)
         if steps_per_dispatch > 1:
             # stacked batches: scan axis replicated, batch axis data-sharded
-            batch_sh = NamedSharding(mesh, P(None, batch_sh.spec[0]))
+            batch_sh = stacked_batch_sharding(mesh)
         if infer_state_sharding:
             # keep the state's own (possibly tensor-parallel) placements
             return jax.jit(
