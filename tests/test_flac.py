@@ -243,3 +243,35 @@ def test_unknown_total_samples_grows_buffer(tmp_path):
     got, sr = nflac.read_flac(p, dtype=np.int32)
     assert got.shape == (n,)
     assert not got.any()
+
+
+def test_bitflip_fuzz_never_crashes(tmp_path):
+    """Corpus-mutation fuzz: random bit flips anywhere in a valid stream
+    must decode or raise — never corrupt memory (the round-2 advisor found
+    an OOB write reachable from a crafted frame; the residual/order guards
+    + whole-frame CRC-16 now front-stop this class)."""
+    rng = np.random.default_rng(0)
+    streams = []
+    for ch, n, bs in [(1, 6000, 1024), (2, 5000, 256)]:
+        pcm = (rng.normal(size=(n, ch)) * 8000).astype(np.int16)
+        streams.append(
+            np.frombuffer(
+                encode_flac(pcm, sample_rate=16000, blocksize=bs), np.uint8
+            ).copy()
+        )
+    p = tmp_path / "fuzz.flac"
+    decoded = rejected = 0
+    for arr in streams:
+        for _ in range(120):
+            m = arr.copy()
+            for _ in range(int(rng.integers(1, 9))):
+                i = int(rng.integers(0, len(m)))
+                m[i] ^= 1 << int(rng.integers(0, 8))
+            p.write_bytes(m.tobytes())
+            try:
+                nflac.read_flac(p)
+                decoded += 1
+            except ValueError:
+                rejected += 1
+    assert decoded + rejected == 240
+    assert rejected > 200  # CRC-16 must be doing the front-stopping
