@@ -225,6 +225,34 @@ def test_run_xvector_asnorm_evaluator(corpus, tmp_path):
     assert 0.0 <= objective <= 1.0
 
 
+def test_progress_tracker_e2e(corpus, tmp_path):
+    """callbacks=speaker_progress_tracker through the driver: every
+    validation writes an embedding snapshot under <run_dir>/progress and
+    separation metrics ride in the val metrics."""
+    import run as run_cli
+
+    objective = run_cli.main(
+        _common_overrides(
+            corpus,
+            tmp_path,
+            [
+                "+experiment=speaker_dummy",
+                "callbacks=speaker_progress_tracker",
+                "callbacks.progress_tracker.num_tracked_speakers=3",
+                "trainer.max_steps=6",
+                "trainer.val_check_interval=3",
+            ],
+        )
+    )
+    assert 0.0 <= objective <= 1.0
+    progress = tmp_path / "progress"
+    snaps = sorted(progress.glob("step_*"))
+    assert snaps, "no progress snapshots written"
+    assert (snaps[0] / "embeddings.npy").exists()
+    assert (snaps[0] / "embeddings.png").exists()
+    assert (snaps[0] / "stats.txt").exists()
+
+
 def test_multirun_train_only_summary(corpus, tmp_path, capsys):
     """A train-only grid (`-m ... eval_model=false`) returns None objectives;
     the multirun summary must report them instead of crashing after all the

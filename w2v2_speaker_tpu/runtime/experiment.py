@@ -1222,6 +1222,26 @@ def _run_speaker(cfg, dm, task: SpeakerTask, mesh, logger) -> float:
     val_pairs = dm.val_evaluation_pairs()
     limit_val = cfg["trainer"].get("limit_val_batches")
 
+    # tracked-sample embedding progress (working re-design of the
+    # reference's dead-code progress_tracker_callback.py, SURVEY §2.7)
+    tracker = None
+    pt_cfg = (cfg.get("callbacks") or {}).get("progress_tracker")
+    if pt_cfg:
+        from .progress import ProgressTracker
+
+        tracker = ProgressTracker(
+            out_dir=pathlib.Path(
+                str(cfg["trainer"]["checkpoint_dir"])
+            ).parent
+            / "progress",
+            num_speakers=int(pt_cfg.get("num_tracked_speakers", 5)),
+            per_speaker=int(pt_cfg.get("per_speaker", 2)),
+            heatmap=bool(pt_cfg.get("heatmap", True)),
+        )
+        if not tracker.select_samples(dm.train_batches()):
+            print("progress tracker: no tracked-speaker samples; disabled")
+            tracker = None
+
     # rolling buffer of training embeddings for evaluator centering: filled
     # for free from the train step's own forward instead of re-running the
     # train pipeline at each validation (reference keeps an in-training
@@ -1265,25 +1285,25 @@ def _run_speaker(cfg, dm, task: SpeakerTask, mesh, logger) -> float:
         return embs[:max_samples], labels[:max_samples]
 
     def validate(state):
+        track = (
+            tracker.snapshot(
+                int(state.step),
+                lambda f, m: _embed_feature_batch(
+                    embed, state, {"features": f, "mask": m}, n_data
+                ),
+            )
+            if tracker
+            else {}
+        )
         if not val_pairs:
-            return {"val_eer": 1.0}
+            return {**track, "val_eer": 1.0}
         samples: List[EmbeddingSample] = []
         for i, batch in enumerate(dm.val_batches()):
             if limit_val and i >= limit_val:
                 break
-            db = strip_host_fields(batch)
-            feats = db["features"]
-            mask = db.get("mask")
-            if mask is None:  # equal-length batch: collate omitted the mask
-                mask = np.ones(feats.shape[:2], bool)
-            padded = pad_batch_rows(
-                {"features": feats, "mask": mask},
-                -(-feats.shape[0] // n_data) * n_data,
+            e = _embed_feature_batch(
+                embed, state, strip_host_fields(batch), n_data
             )
-            feats, mask = padded["features"], padded["mask"]
-            e = np.asarray(
-                embed(state, jnp.asarray(feats), jnp.asarray(mask))
-            )[: len(batch["keys"])]
             samples.extend(
                 EmbeddingSample(k, e[j]) for j, k in enumerate(batch["keys"])
             )
@@ -1292,12 +1312,12 @@ def _run_speaker(cfg, dm, task: SpeakerTask, mesh, logger) -> float:
             p for p in val_pairs if p.sample1_id in seen and p.sample2_id in seen
         ]
         if not usable:
-            return {"val_eer": 1.0}
+            return {**track, "val_eer": 1.0}
         evaluator.reset_parameters()
         if max_tr:
             fit_evaluator_from_train(state)
         res = evaluator.evaluate(usable, samples)
-        return {"val_eer": res["eer"], "val_mdc": res["mdc"]}
+        return {**track, "val_eer": res["eer"], "val_mdc": res["mdc"]}
 
     def make_batch_processor(epoch):
         """Triplet modes need >= 2 samples per present speaker so every
