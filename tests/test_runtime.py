@@ -225,6 +225,33 @@ def test_run_xvector_asnorm_evaluator(corpus, tmp_path):
     assert 0.0 <= objective <= 1.0
 
 
+def test_checkpoint_averaging_e2e(corpus, tmp_path, capsys):
+    """trainer.save_top_k=2 + average_top_k=2: the test phase runs on the
+    uniform average of the two best checkpoints (checkpoint averaging)."""
+    import json
+
+    import run as run_cli
+
+    objective = run_cli.main(
+        _common_overrides(
+            corpus,
+            tmp_path,
+            [
+                "+experiment=speaker_dummy",
+                "trainer.save_top_k=2",
+                "trainer.average_top_k=2",
+                "trainer.max_steps=6",
+                "trainer.val_check_interval=2",
+                "trainer.limit_train_batches=null",
+            ],
+        )
+    )
+    assert 0.0 <= objective <= 1.0
+    index = json.loads((tmp_path / "ckpt" / "index.json").read_text())
+    assert len(index["best"]) == 2
+    assert "checkpoint averaging: 2 best" in capsys.readouterr().out
+
+
 def test_progress_tracker_e2e(corpus, tmp_path):
     """callbacks=speaker_progress_tracker through the driver: every
     validation writes an embedding snapshot under <run_dir>/progress and

@@ -367,3 +367,45 @@ def test_librispeech_fixed_tokenizer_config(tmp_path):
     assert dm.tokenizer.vocab_size == 32
     assert dm.tokenizer.vocab["E"] == 5
     dm.vocabulary_consistency_check()
+
+
+def test_checkpoint_averaging(tmp_path, speech_setup):
+    """average_best: float leaves are the uniform mean of the best-k
+    checkpoints; non-float leaves and opt_state come from the best."""
+    from w2v2_speaker_tpu.train.checkpoint import CheckpointManager
+
+    task, tok = speech_setup
+    batch = _speech_batch(tok, 1)
+    params, mstate = task.init(jax.random.PRNGKey(0), batch)
+    state = TrainState.create(
+        apply_fn=task.model.apply, params=params, tx=optax.adam(1e-3),
+        model_state=mstate, rng=jax.random.PRNGKey(1),
+    )
+
+    mgr = CheckpointManager(tmp_path / "ckpt", monitor="val_eer", top_k=3)
+    scales = {1: 1.0, 2: 3.0, 3: 5.0}
+    for step_i, eer in [(1, 0.3), (2, 0.2), (3, 0.4)]:
+        s = state.replace(
+            step=jnp.asarray(step_i),
+            params=jax.tree.map(
+                lambda p: p * scales[step_i], state.params
+            ),
+        )
+        mgr.save_step(s, {"val_eer": eer})
+
+    avg = mgr.average_best(state, k=3)
+    # mean of 1x, 3x, 5x = 3x the original
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(avg.params)[0]),
+        3.0 * np.asarray(jax.tree.leaves(state.params)[0]),
+        rtol=1e-6,
+    )
+    assert int(avg.step) == 2  # the best entry's step
+
+    # k capped by available entries; k=1 falls back to plain best restore
+    best = mgr.average_best(state, k=1)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(best.params)[0]),
+        scales[2] * np.asarray(jax.tree.leaves(state.params)[0]),
+        rtol=1e-6,
+    )

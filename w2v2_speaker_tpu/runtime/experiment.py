@@ -982,6 +982,7 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
     ckpt = CheckpointManager(
         trainer["checkpoint_dir"],
         monitor="val_eer" if loss_fn_kind != "speech" else "val_wer",
+        top_k=int(trainer.get("save_top_k", 1)),
     )
     if trainer.get("resume"):
         try:
@@ -1198,14 +1199,18 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
     return state, ckpt
 
 
-def _restore_best(state, ckpt):
+def _restore_best(state, ckpt, average_top_k: int = 1):
     """Post-fit checkpoint selection (reference main.py:517-528): with a fit
     run, test the best-val checkpoint; in eval-only mode (`ckpt is None`,
     fit_model=false) or when no validation epoch ever ran, test the current
-    module weights."""
+    module weights. `average_top_k > 1` (with `trainer.save_top_k >= k`)
+    tests the uniform average of the best-k checkpoints instead —
+    checkpoint averaging, a beyond-reference eval option."""
     if ckpt is None:
         return state
     try:
+        if average_top_k > 1:
+            return ckpt.average_best(state, average_top_k)
         return ckpt.restore(state, name="best")
     except FileNotFoundError:
         return state
@@ -1349,7 +1354,9 @@ def _run_speaker(cfg, dm, task: SpeakerTask, mesh, logger) -> float:
     )
 
     # ---- test on best checkpoint (full utterances)
-    state = _restore_best(state, ckpt)
+    state = _restore_best(
+        state, ckpt, int(cfg["trainer"].get("average_top_k", 1))
+    )
     if not cfg.get("eval_model", True):
         logger.close()
         return None
@@ -1475,7 +1482,9 @@ def _run_paired(cfg, dm, task: PairedSpeakerTask, mesh, logger) -> float:
         cfg, task, state, mesh, logger, train_iter, validate,
         loss_fn_kind="paired",
     )
-    state = _restore_best(state, ckpt)
+    state = _restore_best(
+        state, ckpt, int(cfg["trainer"].get("average_top_k", 1))
+    )
     if not cfg.get("eval_model", True):
         logger.close()
         return None
@@ -1601,7 +1610,9 @@ def _run_speech(cfg, dm, task: SpeechTask, mesh, logger) -> float:
         cfg, task, state, mesh, logger, train_iter, validate,
         loss_fn_kind="speech",
     )
-    state = _restore_best(state, ckpt)
+    state = _restore_best(
+        state, ckpt, int(cfg["trainer"].get("average_top_k", 1))
+    )
     if not cfg.get("eval_model", True):
         logger.close()
         return None
@@ -1720,7 +1731,9 @@ def _run_multitask(cfg, dm, task, mesh, logger) -> float:
         cfg, task, state, mesh, logger, train_iter, validate,
         loss_fn_kind="multitask",
     )
-    state = _restore_best(state, ckpt)
+    state = _restore_best(
+        state, ckpt, int(cfg["trainer"].get("average_top_k", 1))
+    )
     if not cfg.get("eval_model", True):
         logger.close()
         return None

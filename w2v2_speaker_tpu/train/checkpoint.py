@@ -109,6 +109,46 @@ class CheckpointManager:
             return self.dir / "last" if self._index["last"] else None
         return self.dir / entries[0]["name"]
 
+    def average_best(self, template: TrainState, k: int) -> TrainState:
+        """Uniform average of the best-k checkpoints' float leaves
+        (checkpoint averaging — the standard eval-time trick the reference's
+        top-1 ModelCheckpoint cannot express; beyond-reference capability).
+        Non-float leaves (step counters etc.) and opt_state/rng come from
+        the single best checkpoint. Falls back to a plain best restore when
+        fewer than 2 best entries exist."""
+        entries = self._index["best"][: max(int(k), 1)]
+        if len(entries) < 2:
+            return self.restore(template, name="best")
+        target = jax.tree.map(np.asarray, _to_pytree(template))
+        restored = [
+            self._ckpt.restore((self.dir / e["name"]).absolute(), target)
+            for e in entries
+        ]
+
+        def mean_leaf(*xs):
+            x0 = np.asarray(xs[0])
+            if not np.issubdtype(x0.dtype, np.floating):
+                return x0
+            acc = np.sum(
+                [np.asarray(x, np.float64) for x in xs], axis=0
+            )
+            return (acc / len(xs)).astype(x0.dtype)
+
+        best = restored[0]
+        print(
+            f"checkpoint averaging: {len(entries)} best checkpoints "
+            f"({[e['name'] for e in entries]})"
+        )
+        return template.replace(
+            step=best["step"],
+            params=jax.tree.map(mean_leaf, *[r["params"] for r in restored]),
+            opt_state=best["opt_state"],
+            model_state=jax.tree.map(
+                mean_leaf, *[r["model_state"] for r in restored]
+            ),
+            rng=best["rng"],
+        )
+
     def restore(self, template: TrainState, name: str = "best") -> TrainState:
         """Restore full train state into the (abstract) template."""
         path = (
