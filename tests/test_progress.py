@@ -68,6 +68,57 @@ def test_snapshot_writes_artifacts_and_separation(tmp_path):
     assert metrics["track_intra_cos"] > metrics["track_inter_cos"]
 
 
+def test_select_samples_pads_varying_time_lengths(tmp_path):
+    """Probe rows picked from batches with different T (chunk strategy
+    'none', or batches padded only to their own max) must stack — padded
+    to a common T with mask False on the pad."""
+    tr = ProgressTracker(tmp_path, num_speakers=2, per_speaker=1)
+
+    def ragged_batches():
+        yield {
+            "features": np.ones((2, 100), np.float32),
+            "labels": np.array([0, 5]),
+            "mask": np.ones((2, 100), bool),
+        }
+        yield {
+            "features": np.ones((2, 160), np.float32),
+            "labels": np.array([1, 6]),
+            "mask": np.ones((2, 160), bool),
+        }
+
+    assert tr.select_samples(ragged_batches())
+    assert tr.features.shape == (2, 160)
+    assert tr.mask.shape == (2, 160)
+    assert tr.mask[0, :100].all() and not tr.mask[0, 100:].any()
+    assert (tr.features[0, 100:] == 0).all()
+    assert tr.mask[1].all()
+
+
+def test_select_samples_bounded_by_max_scan_batches(tmp_path):
+    """A tracked speaker with too few utterances must not force a
+    full-stream decode: the scan stops at max_scan_batches and uses what
+    it collected."""
+    tr = ProgressTracker(
+        tmp_path, num_speakers=2, per_speaker=2, max_scan_batches=3
+    )
+    scanned = []
+
+    def endless():
+        i = 0
+        while True:
+            scanned.append(i)
+            # speaker 1 never appears: without the cap this loops forever
+            yield {
+                "features": np.ones((1, 50), np.float32),
+                "labels": np.array([0]),
+            }
+            i += 1
+
+    assert tr.select_samples(endless())
+    assert len(scanned) <= 4
+    assert set(tr.labels.tolist()) == {0}
+
+
 def test_snapshot_without_heatmap(tmp_path):
     tr = ProgressTracker(tmp_path, num_speakers=2, heatmap=False)
     assert tr.select_samples(_batches(n_batches=10))

@@ -409,3 +409,72 @@ def test_checkpoint_averaging(tmp_path, speech_setup):
         scales[2] * np.asarray(jax.tree.leaves(state.params)[0]),
         rtol=1e-6,
     )
+
+
+def test_checkpoint_same_step_revalidation_no_duplicate(tmp_path, speech_setup):
+    """Re-validating at the same step (limit_train epoch cap landing on a
+    val boundary) must not append a duplicate index entry sharing one
+    directory — eviction would rmtree it out from under the survivor and
+    averaging would count one checkpoint twice."""
+    from w2v2_speaker_tpu.train.checkpoint import CheckpointManager
+
+    task, tok = speech_setup
+    batch = _speech_batch(tok, 1)
+    params, mstate = task.init(jax.random.PRNGKey(0), batch)
+    state = TrainState.create(
+        apply_fn=task.model.apply, params=params, tx=optax.adam(1e-3),
+        model_state=mstate, rng=jax.random.PRNGKey(1),
+    )
+
+    mgr = CheckpointManager(tmp_path / "ckpt", monitor="val_eer", top_k=2)
+    s = state.replace(step=jnp.asarray(5))
+    mgr.save_step(s, {"val_eer": 0.4})
+    mgr.save_step(s, {"val_eer": 0.4})  # same step, same metric
+    assert len(mgr._index["best"]) == 1
+    # a later better checkpoint must not orphan the survivor
+    mgr.save_step(state.replace(step=jnp.asarray(6)), {"val_eer": 0.3})
+    mgr.save_step(state.replace(step=jnp.asarray(7)), {"val_eer": 0.2})
+    for e in mgr._index["best"]:
+        assert (tmp_path / "ckpt" / e["name"]).exists()
+    restored = mgr.restore(state, name="best")
+    assert int(restored.step) == 7
+
+
+def test_load_params_resolves_best_alias(tmp_path, speech_setup):
+    """load_params(<ckpt_dir>/best) must resolve through index.json — the
+    manager never materializes a literal 'best' directory (README's
+    eval-only flow, reference main.py:272-283 warm start)."""
+    from w2v2_speaker_tpu.train.checkpoint import (
+        CheckpointManager,
+        load_params,
+        resolve_checkpoint_path,
+    )
+
+    task, tok = speech_setup
+    batch = _speech_batch(tok, 1)
+    params, mstate = task.init(jax.random.PRNGKey(0), batch)
+    state = TrainState.create(
+        apply_fn=task.model.apply, params=params, tx=optax.adam(1e-3),
+        model_state=mstate, rng=jax.random.PRNGKey(1),
+    )
+    mgr = CheckpointManager(tmp_path / "ckpt", monitor="val_eer", top_k=1)
+    doubled = state.replace(
+        step=jnp.asarray(3),
+        params=jax.tree.map(lambda p: p * 2.0, state.params),
+    )
+    mgr.save_step(doubled, {"val_eer": 0.1})
+
+    resolved = resolve_checkpoint_path(tmp_path / "ckpt" / "best")
+    assert resolved.exists() and "val_eer=0.1000" in resolved.name
+
+    loaded = load_params(tmp_path / "ckpt" / "best", state.params)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(loaded)[0]),
+        2.0 * np.asarray(jax.tree.leaves(state.params)[0]),
+    )
+
+    # no best entries: falls back to 'last'
+    mgr2 = CheckpointManager(tmp_path / "c2", monitor="val_eer")
+    mgr2.save_step(state.replace(step=jnp.asarray(9)), None)
+    r2 = resolve_checkpoint_path(tmp_path / "c2" / "best")
+    assert r2.name == "last"

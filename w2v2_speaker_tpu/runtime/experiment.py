@@ -1093,8 +1093,11 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
             logger.log_step(step, jax.tree.map(float, m))
             epoch_batches += 1
 
+    validated_at = -1
+
     def run_validation():
-        nonlocal state, stop_reason, plateau_factor
+        nonlocal state, stop_reason, plateau_factor, validated_at
+        validated_at = step
         val_metrics = validate_fn(state)
         logger.log_eval(step, val_metrics)
         ckpt.save_step(state, val_metrics)
@@ -1187,9 +1190,10 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
             break
         if limit_train and step < max_steps:
             # debug-trainer style epoch cap: also run validation at the end
-            val_metrics = validate_fn(state)
-            logger.log_eval(step, val_metrics)
-            ckpt.save_step(state, val_metrics)
+            # (unless the cap landed exactly on a val boundary and this step
+            # was already validated above)
+            if validated_at != step:
+                run_validation()
             break
         if epoch_batches == 0:
             raise RuntimeError("train loader yielded no usable batches")
@@ -1231,6 +1235,11 @@ def _run_speaker(cfg, dm, task: SpeakerTask, mesh, logger) -> float:
     # reference's dead-code progress_tracker_callback.py, SURVEY §2.7)
     tracker = None
     pt_cfg = (cfg.get("callbacks") or {}).get("progress_tracker")
+    if pt_cfg and not cfg.get("fit_model", True):
+        # snapshots are taken at validation during fit; eval-only runs would
+        # pay the probe-selection decode for nothing
+        print("progress tracker: fit_model=false, skipping")
+        pt_cfg = None
     if pt_cfg:
         from .progress import ProgressTracker
 
@@ -1242,6 +1251,7 @@ def _run_speaker(cfg, dm, task: SpeakerTask, mesh, logger) -> float:
             num_speakers=int(pt_cfg.get("num_tracked_speakers", 5)),
             per_speaker=int(pt_cfg.get("per_speaker", 2)),
             heatmap=bool(pt_cfg.get("heatmap", True)),
+            max_scan_batches=int(pt_cfg.get("max_scan_batches", 100)),
         )
         if not tracker.select_samples(dm.train_batches()):
             print("progress tracker: no tracked-speaker samples; disabled")
@@ -1412,7 +1422,18 @@ def _run_speaker(cfg, dm, task: SpeakerTask, mesh, logger) -> float:
     return float(res["eer"])
 
 
+def _warn_unsupported_progress_tracker(cfg, family: str) -> None:
+    """The tracked-sample progress callback is speaker-task-only (it probes
+    train-speaker embeddings); never drop a configured callback silently."""
+    if (cfg.get("callbacks") or {}).get("progress_tracker"):
+        print(
+            f"progress tracker: unsupported for the {family} task family; "
+            "callback ignored"
+        )
+
+
 def _run_paired(cfg, dm, task: PairedSpeakerTask, mesh, logger) -> float:
+    _warn_unsupported_progress_tracker(cfg, "paired")
     dl = cfg["data"]["dataloader"]
     ratio = cfg.get("pos_neg_training_batch_ratio", 0.5)
     k = cfg["data"]["shards"]["sequential_same_speaker_samples"]
@@ -1571,6 +1592,7 @@ def _embed_feature_batch(embed, state, db, n_data: int) -> np.ndarray:
 
 
 def _run_speech(cfg, dm, task: SpeechTask, mesh, logger) -> float:
+    _warn_unsupported_progress_tracker(cfg, "speech")
     raw_example = next(iter(dm.train_batches()))
     example = strip_host_fields(raw_example)
     state = _init_state(cfg, task, example)
@@ -1644,6 +1666,7 @@ def _run_multitask(cfg, dm, task, mesh, logger) -> float:
     `_run_speaker`). The objective returned is the test EER (speaker
     verification is the repo's headline task); test WER is logged beside it.
     """
+    _warn_unsupported_progress_tracker(cfg, "multitask")
     raw_example = next(iter(dm.train_batches()))
     example = strip_host_fields(raw_example)
     state = _init_state(cfg, task, example)

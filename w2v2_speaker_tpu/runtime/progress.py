@@ -37,11 +37,13 @@ class ProgressTracker:
         num_speakers: int = 5,
         per_speaker: int = 2,
         heatmap: bool = True,
+        max_scan_batches: int = 100,
     ):
         self.out_dir = pathlib.Path(out_dir)
         self.num_speakers = int(num_speakers)
         self.per_speaker = int(per_speaker)
         self.heatmap = bool(heatmap)
+        self.max_scan_batches = int(max_scan_batches)
         self.features: Optional[np.ndarray] = None  # [N, ...] probe rows
         self.mask: Optional[np.ndarray] = None
         self.labels: Optional[np.ndarray] = None
@@ -55,7 +57,12 @@ class ProgressTracker:
         (e.g. a subset run whose labels all exceed `num_speakers`)."""
         by_spk: Dict[int, list] = {}
         want = self.num_speakers * self.per_speaker
-        for batch in batches:
+        for scanned, batch in enumerate(batches):
+            if scanned >= self.max_scan_batches:
+                # bound the startup cost: a tracked speaker with too few
+                # utterances must not force a full-epoch decode before
+                # training starts — take whatever the cap collected
+                break
             feats = np.asarray(batch["features"])
             labels = np.asarray(batch["labels"]).reshape(-1)
             mask = batch.get("mask")
@@ -79,8 +86,20 @@ class ProgressTracker:
         ]
         if not picked:
             return False
-        self.features = np.stack([r[0] for r in picked])
-        self.mask = np.stack([r[1] for r in picked])
+        # probe rows may come from batches with different time lengths
+        # (chunk strategy 'none', or short utterances padded only to their
+        # own batch max) — right-pad to a common T; models are
+        # padding-invariant under the mask by contract
+        t_max = max(r[0].shape[0] for r in picked)
+
+        def pad_t(a: np.ndarray) -> np.ndarray:
+            if a.shape[0] == t_max:
+                return a
+            widths = [(0, t_max - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+            return np.pad(a, widths)
+
+        self.features = np.stack([pad_t(r[0]) for r in picked])
+        self.mask = np.stack([pad_t(r[1]) for r in picked])
         self.labels = np.asarray([r[2] for r in picked])
         return True
 

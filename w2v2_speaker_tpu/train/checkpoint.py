@@ -22,7 +22,31 @@ import orbax.checkpoint as ocp
 
 from .state import TrainState
 
-__all__ = ["CheckpointManager", "save_params", "load_params"]
+__all__ = [
+    "CheckpointManager",
+    "save_params",
+    "load_params",
+    "resolve_checkpoint_path",
+]
+
+
+def resolve_checkpoint_path(path: pathlib.Path | str) -> pathlib.Path:
+    """Map `<ckpt_dir>/best` to the best entry recorded in `index.json` (the
+    manager never materializes a literal 'best' directory — only 'last' and
+    metric-stamped dirs), falling back to 'last'. Existing paths pass
+    through untouched."""
+    p = pathlib.Path(path)
+    if p.exists() or p.name != "best":
+        return p
+    idx = p.parent / "index.json"
+    if idx.exists():
+        index = json.loads(idx.read_text())
+        entries = index.get("best") or []
+        if entries:
+            return p.parent / entries[0]["name"]
+        if index.get("last") and (p.parent / "last").exists():
+            return p.parent / "last"
+    return p
 
 
 def _to_pytree(state: TrainState) -> Dict[str, Any]:
@@ -89,7 +113,13 @@ class CheckpointManager:
             entries = self._index["best"]
             sign = 1.0 if self.mode == "min" else -1.0
             worst = max((sign * e["metric"] for e in entries), default=np.inf)
-            if len(entries) < self.top_k or sign * metric < worst:
+            if any(e["name"] == name for e in entries):
+                # re-validated at the same step (e.g. a limit_train epoch cap
+                # landing on a val boundary): one directory must map to one
+                # index entry, or eviction would rmtree it out from under the
+                # duplicate and averaging would count it twice
+                pass
+            elif len(entries) < self.top_k or sign * metric < worst:
                 self._save(name, state)
                 entries.append(
                     {"name": name, "metric": float(metric), "step": step}
@@ -118,33 +148,56 @@ class CheckpointManager:
         fewer than 2 best entries exist."""
         entries = self._index["best"][: max(int(k), 1)]
         if len(entries) < 2:
+            print(
+                f"checkpoint averaging: requested {k} but only "
+                f"{len(entries)} best checkpoint(s) recorded (is "
+                f"trainer.save_top_k >= {k}?) — restoring the single best"
+            )
             return self.restore(template, name="best")
         target = jax.tree.map(np.asarray, _to_pytree(template))
-        restored = [
-            self._ckpt.restore((self.dir / e["name"]).absolute(), target)
-            for e in entries
-        ]
 
-        def mean_leaf(*xs):
-            x0 = np.asarray(xs[0])
+        def to_acc(x):
+            x = np.asarray(x)
+            return (
+                x.astype(np.float64)
+                if np.issubdtype(x.dtype, np.floating)
+                else x
+            )
+
+        def add_leaf(a, x):
+            x = np.asarray(x)
+            return a + x if np.issubdtype(x.dtype, np.floating) else a
+
+        # restore sequentially, keeping only a running float64 sum — holds at
+        # most 2 full states in host RAM instead of k
+        best = self._ckpt.restore(
+            (self.dir / entries[0]["name"]).absolute(), target
+        )
+        acc = {
+            "params": jax.tree.map(to_acc, best["params"]),
+            "model_state": jax.tree.map(to_acc, best["model_state"]),
+        }
+        for e in entries[1:]:
+            r = self._ckpt.restore((self.dir / e["name"]).absolute(), target)
+            for key in acc:
+                acc[key] = jax.tree.map(add_leaf, acc[key], r[key])
+
+        def mean_leaf(a, x0):
+            x0 = np.asarray(x0)
             if not np.issubdtype(x0.dtype, np.floating):
                 return x0
-            acc = np.sum(
-                [np.asarray(x, np.float64) for x in xs], axis=0
-            )
-            return (acc / len(xs)).astype(x0.dtype)
+            return (a / len(entries)).astype(x0.dtype)
 
-        best = restored[0]
         print(
             f"checkpoint averaging: {len(entries)} best checkpoints "
             f"({[e['name'] for e in entries]})"
         )
         return template.replace(
             step=best["step"],
-            params=jax.tree.map(mean_leaf, *[r["params"] for r in restored]),
+            params=jax.tree.map(mean_leaf, acc["params"], best["params"]),
             opt_state=best["opt_state"],
             model_state=jax.tree.map(
-                mean_leaf, *[r["model_state"] for r in restored]
+                mean_leaf, acc["model_state"], best["model_state"]
             ),
             rng=best["rng"],
         )
@@ -182,6 +235,7 @@ def load_params(path: pathlib.Path | str, template: Any) -> Any:
     missing/extra subtrees in the template are tolerated by restoring only
     matching leaves."""
     ckpt = ocp.StandardCheckpointer()
+    path = resolve_checkpoint_path(path)
     target = {"params": jax.tree.map(np.asarray, template)}
     try:
         return ckpt.restore(pathlib.Path(path).absolute(), target)["params"]
