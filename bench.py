@@ -88,28 +88,49 @@ def main():
     )
 
 
-def _main_with_retry():
-    """Re-exec on transient transport failures (fresh process => fresh
-    backend init; the tunnel has been observed to drop and return within
-    minutes — CLAUDE.md trap #10). Bounded so a hard outage still fails."""
+def _main_guarded():
+    """Run the measurement in a killable subprocess with a timeout and
+    bounded retries. The device transport has two transient failure modes
+    (CLAUDE.md trap #10): backend errors AND indefinite hangs of blocking
+    device calls — a hang cannot be interrupted in-process (the main thread
+    is stuck inside a C call, so signal handlers never run), only killed
+    from outside. The child inherits stdout, so the single JSON line still
+    reaches the caller directly; a fresh process also means fresh backend
+    init on each retry."""
     import os
+    import subprocess
     import sys
 
-    attempt = int(os.environ.get("BENCH_ATTEMPT", "0"))
-    try:
-        main()
-    except Exception as exc:  # noqa: BLE001 - any backend/transport error
-        if attempt >= 2:
-            raise
-        print(
-            f"bench: attempt {attempt + 1} failed ({exc!r}); "
-            "retrying in 60 s",
-            file=sys.stderr,
-        )
-        time.sleep(60)
-        os.environ["BENCH_ATTEMPT"] = str(attempt + 1)
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+    timeout_s = int(os.environ.get("BENCH_TIMEOUT_S", "600"))
+    for attempt in range(3):
+        try:
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--once"],
+                timeout=timeout_s,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            print(
+                f"bench: attempt {attempt + 1} hung past {timeout_s}s; "
+                "killed",
+                file=sys.stderr,
+            )
+            rc = -1
+        if rc == 0:
+            return 0
+        if attempt < 2:
+            print(
+                f"bench: attempt {attempt + 1} failed (rc={rc}); "
+                "retrying in 60 s",
+                file=sys.stderr,
+            )
+            time.sleep(60)
+    return 1
 
 
 if __name__ == "__main__":
-    _main_with_retry()
+    import sys
+
+    if "--once" in sys.argv:
+        main()
+    else:
+        sys.exit(_main_guarded())
