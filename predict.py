@@ -18,6 +18,15 @@ def main(argv=None):
     from w2v2_speaker_tpu.runtime.predict import run_predictions
 
     overrides = list(sys.argv[1:] if argv is None else argv)
+    if overrides[:1] == ["-sc"]:
+        from w2v2_speaker_tpu.runtime.completion import (
+            handle_shell_completion,
+        )
+
+        handle_shell_completion(
+            CONFIG_DIR, overrides[1:], entry="predict", script_path=__file__
+        )
+        return None
     cfg = load_config(CONFIG_DIR, "predict", overrides)
     return run_predictions(cfg)
 

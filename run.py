@@ -140,6 +140,15 @@ def _pop_launcher(overrides):
 def main(argv=None) -> float:
     _load_dotenv()
     overrides = list(sys.argv[1:] if argv is None else argv)
+    if overrides[:1] == ["-sc"]:
+        # shell completion (the reference's hydra `-sc install=bash` surface,
+        # preparation_scripts/hydra_bash_complete.sh)
+        from w2v2_speaker_tpu.runtime.completion import handle_shell_completion
+
+        handle_shell_completion(
+            CONFIG_DIR, overrides[1:], script_path=__file__
+        )
+        return None
     multirun = False
     for flag in ("-m", "--multirun"):
         if flag in overrides:
