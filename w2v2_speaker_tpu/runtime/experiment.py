@@ -579,9 +579,29 @@ def build_model_and_task(cfg: Dict, num_speakers: int, tokenizer=None):
     raise ValueError(f"unknown network {name}")
 
 
+def _normalize_schedule_cfg(sched_cfg: Dict) -> Dict:
+    """Fold the reference's torch-shaped override paths onto the flat keys.
+
+    The reference README drives tri_stage/exp_decay through the wrapped
+    torch LambdaLR object (`optim.schedule.scheduler.lr_lambda.initial_lr=
+    1e-7`, README.md:402-420); here schedules are plain functions with flat
+    config keys, so those nested CLI paths are aliased in (nested wins —
+    it is the explicit CLI override)."""
+    nested = sched_cfg.get("scheduler")
+    if not isinstance(nested, dict):
+        return sched_cfg
+    out = dict(sched_cfg)
+    for src in (nested, nested.get("lr_lambda")):
+        if isinstance(src, dict):
+            for k, v in src.items():
+                if not isinstance(v, dict):
+                    out[k] = v
+    return out
+
+
 def build_optimizer(cfg: Dict) -> optax.GradientTransformation:
     algo = cfg["optim"]["algo"]
-    sched_cfg = cfg["optim"]["schedule"]
+    sched_cfg = _normalize_schedule_cfg(cfg["optim"]["schedule"])
     max_steps = cfg["trainer"]["max_steps"]
     lr = algo["lr"]
 
