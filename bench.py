@@ -101,21 +101,44 @@ def _main_guarded():
     import subprocess
     import sys
 
-    timeout_s = int(os.environ.get("BENCH_TIMEOUT_S", "600"))
+    base_timeout = int(os.environ.get("BENCH_TIMEOUT_S", "600"))
     for attempt in range(3):
+        # each retry is a fresh process (fresh remote compile), so give
+        # later attempts progressively more room: a slow-but-healthy
+        # compile must not be killed at the same point forever
+        timeout_s = base_timeout * (attempt + 1)
+        result_line, rc = None, -1
         try:
-            rc = subprocess.run(
+            proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--once"],
                 timeout=timeout_s,
-            ).returncode
-        except subprocess.TimeoutExpired:
+                capture_output=True,
+                text=True,
+            )
+            rc = proc.returncode
+            # the child's stdout is captured (not inherited) so this
+            # process prints at most ONE JSON line ever, even if a child
+            # printed its result and then hung/died in backend teardown
+            for line in (proc.stdout or "").splitlines():
+                if line.startswith("{") and '"metric"' in line:
+                    result_line = line
+            sys.stderr.write(proc.stderr or "")
+        except subprocess.TimeoutExpired as e:
+            # a child that finished measuring but hung in backend teardown
+            # still yields its result; .stdout is str or bytes by version
+            out = e.stdout or ""
+            if isinstance(out, bytes):
+                out = out.decode("utf-8", "replace")
+            for line in out.splitlines():
+                if line.startswith("{") and '"metric"' in line:
+                    result_line = line
             print(
                 f"bench: attempt {attempt + 1} hung past {timeout_s}s; "
                 "killed",
                 file=sys.stderr,
             )
-            rc = -1
-        if rc == 0:
+        if result_line is not None:
+            print(result_line)
             return 0
         if attempt < 2:
             print(

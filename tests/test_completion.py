@@ -66,7 +66,7 @@ def test_run_py_sc_surface(capsys):
 
     run_cli.main(["-sc", "install=bash"])
     script = capsys.readouterr().out
-    assert "complete -o nospace -F" in script
+    assert "complete -o nospace -o default -F" in script
     assert "run.py" in script and "-sc" in script
 
     with pytest.raises(SystemExit):
@@ -79,3 +79,75 @@ def test_predict_py_sc_surface(capsys):
     predict_cli.main(["-sc", "query=evaluator="])
     out = capsys.readouterr().out.splitlines()
     assert any(c.startswith("evaluator=cosine_distance") for c in out)
+
+
+# ------------------------------------------------- real-bash TAB semantics
+
+def _bash_complete(words, cword, line):
+    """Run the generated completion function inside a real bash with the
+    COMP_* state an actual TAB press produces (bash splits words at '='
+    per COMP_WORDBREAKS) and return COMPREPLY."""
+    import subprocess
+
+    quoted = " ".join(f"'{w}'" for w in words)
+    harness = f"""
+set -e
+eval "$('{sys.executable}' '{REPO}/run.py' -sc install=bash)"
+COMP_WORDS=({quoted})
+COMP_CWORD={cword}
+COMP_LINE='{line}'
+COMP_POINT={len(line)}
+_w2v2_tpu_sc_run
+printf '%s\\n' "${{COMPREPLY[@]}}"
+"""
+    out = subprocess.run(
+        ["bash", "-c", harness], capture_output=True, text=True, timeout=300
+    )
+    assert out.returncode == 0, out.stderr
+    return [l for l in out.stdout.splitlines() if l]
+
+
+def test_bash_tab_completes_group_option():
+    # `python run.py network=eca<TAB>`: bash splits at '=', so COMP_WORDS
+    # is (python run.py network = eca); candidates must come back WITHOUT
+    # the 'network=' prefix or bash would splice 'network=network=ecapa...'
+    replies = _bash_complete(
+        ["python", f"{REPO}/run.py", "network", "=", "eca"],
+        4,
+        f"python {REPO}/run.py network=eca",
+    )
+    assert replies == ["ecapa_tdnn"]
+
+
+def test_bash_tab_completes_group_key():
+    replies = _bash_complete(
+        ["python", f"{REPO}/run.py", "netw"],
+        2,
+        f"python {REPO}/run.py netw",
+    )
+    assert "network=" in replies
+
+
+def test_bash_tab_bare_script_name_resolves_to_repo():
+    # `python run.py ...` typed with the bare name maps onto THIS repo's
+    # run.py (never executes a same-named foreign script)
+    replies = _bash_complete(
+        ["python", "run.py", "network", "=", "eca"],
+        4,
+        "python run.py network=eca",
+    )
+    assert replies == ["ecapa_tdnn"]
+
+
+def test_bash_tab_foreign_script_is_not_executed(tmp_path):
+    # a foreign ./run.py must not be invoked on TAB: the function bails
+    # with empty COMPREPLY (-o default then falls back to filenames)
+    foreign = tmp_path / "run.py"
+    foreign.write_text(f"open('{tmp_path}/executed', 'w')\n")
+    replies = _bash_complete(
+        ["python", str(foreign), "netw"],
+        2,
+        f"python {foreign} netw",
+    )
+    assert replies == []
+    assert not (tmp_path / "executed").exists()

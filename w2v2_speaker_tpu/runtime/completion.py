@@ -106,22 +106,39 @@ _BASH_TEMPLATE = """\
 # bash completion for {script_name} (mini-Hydra CLI). Install with:
 #   eval "$(python {script_name} -sc install=bash)"
 _w2v2_tpu_sc_{fn_suffix}() {{
-  local script cur
+  local script line cur prefix
   # works both for `python run.py ...` and `./run.py ...`
   case "${{COMP_WORDS[0]}}" in
-    python*) script="${{COMP_WORDS[1]}}" ;;
+    python*) script="${{COMP_WORDS[1]:-}}" ;;
     *) script="${{COMP_WORDS[0]}}" ;;
   esac
+  # canonicalize so relative invocations of THIS project's scripts match
+  if [[ "$script" == */* && -e "$script" ]]; then
+    script="$(cd "${{script%/*}}" 2>/dev/null && pwd)/${{script##*/}}"
+  fi
   case "$script" in
-    *run.py|*predict.py) ;;
-    *) return 0 ;;
+    run.py|predict.py) script="{script_dir}/$script" ;;
   esac
-  cur="${{COMP_WORDS[COMP_CWORD]}}"
+  # only ever execute THIS project's scripts — a foreign run.py must not
+  # run on a TAB press; -o default falls back to filename completion
+  case "$script" in
+    "{script_dir}/run.py"|"{script_dir}/predict.py") ;;
+    *) COMPREPLY=(); return 0 ;;
+  esac
+  # bash splits words at '=' (COMP_WORDBREAKS), so COMP_WORDS[COMP_CWORD]
+  # loses the 'key=' prefix; recover the full current word from COMP_LINE
+  line="${{COMP_LINE:0:COMP_POINT}}"
+  cur="${{line##* }}"
+  prefix=""
+  case "$cur" in *=*) prefix="${{cur%=*}}=" ;; esac
   local IFS=$'\\n'
   COMPREPLY=( $("{python}" "$script" -sc "query=$cur" 2>/dev/null) )
+  # strip through the last '=' so bash splices candidates after the
+  # wordbreak instead of inserting 'key=key=option'
+  COMPREPLY=( "${{COMPREPLY[@]#"$prefix"}}" )
 }}
-complete -o nospace -F _w2v2_tpu_sc_{fn_suffix} python python3 \\
-    run.py predict.py {script_path}
+complete -o nospace -o default -F _w2v2_tpu_sc_{fn_suffix} \\
+    python python3 run.py predict.py {script_path}
 """
 
 
@@ -144,6 +161,7 @@ def handle_shell_completion(
                 python=sys.executable,
                 script_name=script.name,
                 script_path=script,
+                script_dir=script.parent,
                 fn_suffix=script.stem.replace("-", "_"),
             )
         )

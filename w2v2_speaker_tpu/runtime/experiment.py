@@ -1014,7 +1014,9 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
     plateau_ctl = None
     base_lr = cfg["optim"]["algo"]["lr"]
     if cfg["optim"]["schedule"]["name"] == "reduce_on_plateau":
-        sc = cfg["optim"]["schedule"]
+        # normalized like build_optimizer, so reference-style nested
+        # overrides (optim.schedule.scheduler.factor=...) reach both
+        sc = _normalize_schedule_cfg(cfg["optim"]["schedule"])
         plateau_ctl = schedules.ReduceLROnPlateauController(
             factor=sc.get("factor", 0.1), patience=sc.get("patience", 10)
         )
