@@ -94,9 +94,9 @@ def _main_guarded():
     (CLAUDE.md trap #10): backend errors AND indefinite hangs of blocking
     device calls — a hang cannot be interrupted in-process (the main thread
     is stuck inside a C call, so signal handlers never run), only killed
-    from outside. The child inherits stdout, so the single JSON line still
-    reaches the caller directly; a fresh process also means fresh backend
-    init on each retry."""
+    from outside. The child's stdout is CAPTURED and the parent re-prints
+    only the result, so exactly one JSON line is ever emitted even across
+    retries; a fresh process also means fresh backend init on each retry."""
     import os
     import subprocess
     import sys

@@ -57,6 +57,8 @@ def test_run_speech_ctc(tmp_path):
             "trainer.val_check_interval=3",
             "trainer.precision=f32",
             f"trainer.checkpoint_dir={tmp_path / 'ckpt'}",
+            # real TB writer: guards against logging after logger.close()
+            f"trainer.log_dir={tmp_path / 'tb'}",
             "seed=1",
         ]
     )

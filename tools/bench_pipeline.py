@@ -60,8 +60,10 @@ def main():
                 {
                     "augment": {
                         "enabled": True,
-                        "time_dropout": {},
-                        "freq_dropout": {},
+                        # explicit params: build_augmenter gates on dict
+                        # truthiness, so empty {} would disable the op
+                        "time_dropout": {"max_seconds": 0.25, "max_count": 5},
+                        "freq_dropout": {"max_count": 5},
                         "speed_choices": [0.95, 1.0, 1.05],
                         "reverb": True,
                         "noise_snr": [15, 20],

@@ -222,8 +222,10 @@ class LibriSpeechDataModule:
             else:
                 speakers = sorted(
                     {
-                        s.key.split("-")[0]
-                        for s in ShardReader(ShardReader.discover(d))
+                        key.split("-")[0]
+                        for key in ShardReader(
+                            ShardReader.discover(d)
+                        ).iter_keys()
                     }
                 )
                 cache.write_text(json.dumps(speakers))
@@ -244,8 +246,12 @@ class LibriSpeechDataModule:
         from .trials import generate_validation_pairs
 
         per_speaker: Dict[str, List[str]] = {}
-        for s in self._samples(split):
-            per_speaker.setdefault(s.key.split("-")[0], []).append(s.key)
+        reader = ShardReader(
+            ShardReader.discover(self.cfg.shards_dir / split)
+        )
+        # keys only — never decode the split's audio to build pair lists
+        for key in reader.iter_keys():
+            per_speaker.setdefault(key.split("-")[0], []).append(key)
         return generate_validation_pairs(
             per_speaker, num_pairs, seed=self.cfg.seed
         )

@@ -256,3 +256,16 @@ class ShardReader:
                         ground_truth=meta.get("speaker_id_idx", -1),
                         meta=meta,
                     )
+
+    def iter_keys(self) -> Iterator[str]:
+        """Stream sample keys only: reads the small `.json` members and
+        never materializes waveform payloads — key/speaker inventories
+        (trial-pair generation, speaker maps) must not decode a whole
+        split's audio."""
+        for path in self.paths:
+            mode = "r:gz" if path.endswith(".gz") else "r"
+            with tarfile.open(path, mode) as tar:
+                for member in tar:
+                    if member.isfile() and member.name.endswith(".json"):
+                        meta = json.loads(tar.extractfile(member).read())
+                        yield meta["key"]

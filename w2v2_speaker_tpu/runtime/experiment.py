@@ -105,7 +105,9 @@ def build_augmenter(pipeline_cfg: Dict, seed: int) -> Optional[Augmenter]:
     if not aug.get("enabled"):
         return None
     chain = []
-    if aug.get("time_dropout"):
+    # dict-valued ops gate on presence (null disables): an explicit empty
+    # {} means "enabled with defaults", never silently off
+    if aug.get("time_dropout") is not None:
         td = aug["time_dropout"]
         chain.append(
             TimeDropoutAugment(
@@ -115,7 +117,7 @@ def build_augmenter(pipeline_cfg: Dict, seed: int) -> Optional[Augmenter]:
                 seed=seed + 2,
             )
         )
-    if aug.get("freq_dropout"):
+    if aug.get("freq_dropout") is not None:
         fd = aug["freq_dropout"]
         chain.append(
             FrequencyDropoutAugment(
@@ -250,7 +252,6 @@ def build_data_module(cfg: Dict):
         dm.prepare_data()
         return dm
     if m["name"] == "librispeech":
-        s = cfg["data"]["shards"]
         dl = cfg["data"]["dataloader"]
         split_dirs = {}
         for split, key in [
@@ -1672,8 +1673,14 @@ def _run_speech(cfg, dm, task: SpeechTask, mesh, logger) -> float:
             {f"{k}_wer": v for k, v in results.items()},
             split="test",
         )
+    # fall back to a val-WER pass ONLY when no test split produced one,
+    # and before the logger closes (validate() logs tracked transcriptions)
+    if "test_clean" in results:
+        objective = results["test_clean"]
+    else:
+        objective = validate(state)["val_wer"]
     logger.close()
-    return float(results.get("test_clean", validate(state)["val_wer"]))
+    return float(objective)
 
 
 def _run_multitask(cfg, dm, task, mesh, logger) -> float:
@@ -1801,7 +1808,9 @@ def _run_multitask(cfg, dm, task, mesh, logger) -> float:
             results["test_mdc"] = res["mdc"]
     if results:
         logger.log_eval(int(state.step), results, split="test")
+    if test_eer is None:
+        # fallback val pass must run before close(): validate() logs
+        # tracked transcriptions through this logger
+        test_eer = validate(state)["val_eer"]
     logger.close()
-    if test_eer is not None:
-        return float(test_eer)
-    return float(validate(state)["val_eer"])
+    return float(test_eer)
