@@ -87,6 +87,11 @@ def test_shard_write_read_roundtrip(tmp_path):
     np.testing.assert_array_equal(by_key[some.key].wav, some.wav)
     assert by_key[some.key].ground_truth == meta["speaker_id_to_idx"]["id000"]
 
+    # keys-only scan (no waveform decode) sees the same keys in the same
+    # order as the full read
+    keys_only = list(ShardReader(ShardReader.discover(tmp_path)).iter_keys())
+    assert keys_only == [s.key for s in got]
+
 
 def test_shard_sequential_runs(tmp_path):
     write_speaker_shards(
