@@ -44,7 +44,7 @@ def test_validate_scores_failures(tmp_path):
         vs.validate(dup, pairs)
 
 
-def test_lr_range_test_runs():
+def test_lr_range_test_runs(tmp_path):
     import jax
     import numpy as np
 
@@ -79,11 +79,15 @@ def test_lr_range_test_runs():
     example = next(batches())
     params, mstate = task.init(jax.random.PRNGKey(0), example)
     result = lr_range_test(
-        task, params, mstate, batches(), create_mesh(), num_steps=30
+        task, params, mstate, batches(), create_mesh(), num_steps=30,
+        output_dir=tmp_path,
     )
     assert len(result["lr"]) == len(result["loss"])
     assert 1e-8 <= result["suggestion"] <= 1.0
     assert np.isfinite(result["loss"]).all()
+    # reference lr-tune artifacts: json + figure (main.py:475-491)
+    assert (tmp_path / "data.json").exists()
+    assert (tmp_path / "plot.png").exists()
 
 
 def test_batch_gradient_verification():

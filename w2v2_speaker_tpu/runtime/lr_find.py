@@ -113,4 +113,33 @@ def lr_range_test(
         output_dir = pathlib.Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)
         (output_dir / "data.json").write_text(json.dumps(result, indent=2))
+        _write_plot(output_dir / "plot.png", lr_used, losses, suggestion)
     return result
+
+
+def _write_plot(path, lrs, losses, suggestion) -> None:
+    """Loss-vs-LR figure beside the JSON, matching the reference's lr-tune
+    artifacts (`/root/reference/src/main.py:480-491` saves fig + json).
+    Matplotlib is optional at runtime — the JSON is the canonical record."""
+    if not len(losses):
+        return
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(lrs, losses)
+    ax.set_xscale("log")
+    ax.axvline(
+        suggestion, color="red", linestyle="--",
+        label=f"suggestion {suggestion:.2e}",
+    )
+    ax.set_xlabel("learning rate")
+    ax.set_ylabel("smoothed loss")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
