@@ -28,6 +28,14 @@ def main():
     ap.add_argument("--seconds", type=float, default=3.0)
     ap.add_argument("--iters", type=int, default=64)
     ap.add_argument("--large", action="store_true")
+    ap.add_argument(
+        "--sweep-batches",
+        type=str,
+        default=None,
+        help="comma-separated batch sizes; int8-only throughput sweep in "
+        "ONE session (cross-session readings differ ±2%% on this host — "
+        "batch A/Bs are only valid back-to-back in one process)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -48,7 +56,7 @@ def main():
     n = int(16000 * args.seconds)
     size = LARGE_CONFIG if args.large else BASE_CONFIG
 
-    def build(int8):
+    def build(int8, batch):
         cfg = Wav2Vec2SpeakerConfig(
             w2v2=Wav2Vec2Config(
                 **{
@@ -61,7 +69,7 @@ def main():
             stat_pooling_type="mean",
         )
         model = Wav2Vec2SpeakerModel(cfg=cfg, num_speakers=5994)
-        wav = jnp.zeros((args.batch, n), jnp.float32)
+        wav = jnp.zeros((batch, n), jnp.float32)
         variables = jax.jit(model.init)(
             {"params": jax.random.PRNGKey(0)}, wav
         )
@@ -84,17 +92,15 @@ def main():
 
         return run, variables
 
-    def fresh():
-        return jnp.asarray(
-            rng.normal(size=(args.batch, n)).astype(np.float32)
-        )
+    def fresh(batch):
+        return jnp.asarray(rng.normal(size=(batch, n)).astype(np.float32))
 
-    for label, int8 in (("bf16", False), ("int8", True)):
-        run, variables = build(int8)
-        float(run(1, v=variables, w=fresh()))  # compile
+    def measure(label, int8, batch):
+        run, variables = build(int8, batch)
+        float(run(1, v=variables, w=fresh(batch)))  # compile
 
         def timed(m):
-            w = fresh()
+            w = fresh(batch)
             t0 = time.perf_counter()
             float(run(m, v=variables, w=w))
             return time.perf_counter() - t0
@@ -103,10 +109,17 @@ def main():
         t2 = min(timed(2 * args.iters) for _ in range(3))
         dt = max(t2 - t1, 1e-9) / args.iters
         print(
-            f"{label}: {dt * 1e3:.2f} ms/batch-{args.batch} "
-            f"({args.batch / dt:.0f} utt/s, "
-            f"{args.batch / dt * args.seconds:.0f}x real-time)"
+            f"{label}: {dt * 1e3:.2f} ms/batch-{batch} "
+            f"({batch / dt:.0f} utt/s, "
+            f"{batch / dt * args.seconds:.0f}x real-time)"
         )
+
+    if args.sweep_batches:
+        for b in (int(s) for s in args.sweep_batches.split(",")):
+            measure(f"int8 B={b}", True, b)
+    else:
+        for label, int8 in (("bf16", False), ("int8", True)):
+            measure(label, int8, args.batch)
 
 
 if __name__ == "__main__":
