@@ -87,7 +87,13 @@ def test_lr_range_test_runs(tmp_path):
     assert np.isfinite(result["loss"]).all()
     # reference lr-tune artifacts: json + figure (main.py:475-491)
     assert (tmp_path / "data.json").exists()
-    assert (tmp_path / "plot.png").exists()
+    # plot.png is written only when matplotlib is importable (optional dep)
+    try:
+        import matplotlib  # noqa: F401
+
+        assert (tmp_path / "plot.png").exists()
+    except ImportError:
+        assert not (tmp_path / "plot.png").exists()
 
 
 def test_batch_gradient_verification():

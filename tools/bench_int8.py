@@ -8,6 +8,7 @@ differential, float() barrier (the axon transport memoizes identical
 requests and resolves futures lazily — CLAUDE.md).
 
 Usage: python tools/bench_int8.py [--batch 48] [--seconds 3] [--iters 64]
+       [--sweep-batches 48,64,96]
 """
 
 from __future__ import annotations

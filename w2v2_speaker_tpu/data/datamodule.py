@@ -416,7 +416,10 @@ class VoxCelebDataModule:
     @staticmethod
     def _assert_split_consistency(out: pathlib.Path) -> None:
         """Split disjointness + speaker-index agreement
-        (voxceleb.py:313-341)."""
+        (voxceleb.py:313-341). Metadata-only like the reference check:
+        streams keys via ``ShardReader.iter_keys`` — never decodes audio
+        just to compare keys (at VoxCeleb2-dev scale a full read would
+        roughly double one-time prepare I/O)."""
         seen: Dict[str, str] = {}
         idx_maps = []
         for split in ("train", "val", "test"):
@@ -425,12 +428,12 @@ class VoxCelebDataModule:
                 continue
             meta = read_meta(d)
             idx_maps.append((split, meta["speaker_id_to_idx"]))
-            for s in ShardReader(ShardReader.discover(d)):
-                if s.key in seen:
+            for key in ShardReader(ShardReader.discover(d)).iter_keys():
+                if key in seen:
                     raise AssertionError(
-                        f"sample {s.key} in both {seen[s.key]} and {split}"
+                        f"sample {key} in both {seen[key]} and {split}"
                     )
-                seen[s.key] = split
+                seen[key] = split
 
     # ------------------------------------------------------------ loaders
 

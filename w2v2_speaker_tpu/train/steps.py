@@ -161,14 +161,21 @@ def make_train_step(
 
 
 def make_eval_step(task: SpeakerTask, mesh: Optional[Mesh] = None) -> Callable:
-    """Returns jitted eval_step(state, batch) -> metrics (no param update)."""
+    """Returns jitted eval_step(state, batch) -> metrics (no param update).
+
+    The rng handed to the loss is derived from ``state.rng`` (a traced
+    argument) rather than a ``PRNGKey(0)`` literal built under trace: eager
+    device constants closed into a jit get re-fetched device->host at
+    lowering on the remote-TPU transport (CLAUDE.md trap #6). train=False
+    makes the key dead either way, so eval stays deterministic."""
 
     def step(state: TrainState, batch):
+        eval_rng = jax.random.fold_in(state.rng, 0)
         loss, aux = task.loss_fn(
             state.params,
             state.model_state,
             batch,
-            jax.random.PRNGKey(0),
+            eval_rng,
             train=False,
         )
         return aux["metrics"]
