@@ -1,0 +1,115 @@
+"""Input-monitor depth (VERDICT r3 directive 5): per-preprocessor debug
+artifacts for the first pipeline samples and the auto-dump of the offending
+batch when a training step raises (reference
+callbacks/input_monitor_callback.py:93-156,
+speaker_recognition_module.py:187-203)."""
+
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    from tests.test_runtime import _build_corpus
+
+    root = tmp_path_factory.mktemp("input_monitor_corpus")
+    return _build_corpus(root, n_spk=6, test_spk=2)
+
+
+def _overrides(corpus, tmp_path, extra):
+    from tests.test_runtime import _common_overrides
+
+    return _common_overrides(
+        corpus, tmp_path, ["+experiment=speaker_dummy"] + extra
+    )
+
+
+def test_per_sample_pipeline_artifacts(corpus, tmp_path):
+    """dump_first_batch=true writes, beside the collated batch dump, a
+    per-sample directory of numbered stage artifacts: original waveform,
+    each augmentation op's output, chunk, normalized chunk — each as .npy +
+    stats .txt + playable .wav (reference side_info.pipeline_progress +
+    debug writers, input_monitor_callback.py:120-145)."""
+    import run as run_cli
+
+    run_cli.main(
+        _overrides(
+            corpus,
+            tmp_path,
+            [
+                "trainer.dump_first_batch=true",
+                "trainer.max_steps=2",
+                "trainer.val_check_interval=2",
+                "data/pipeline=xvector_dropout_augment_pipeline",
+                "data.pipeline.chunk_length_sec=1.0",
+            ],
+        )
+    )
+    # collated batch dump unchanged
+    assert (tmp_path / "first_batch" / "batch_features.npy").exists()
+    per_sample = tmp_path / "first_batch" / "per_sample"
+    sample_dirs = sorted(p for p in per_sample.iterdir() if p.is_dir())
+    assert sample_dirs, "no per-sample artifact directories written"
+    for d in sample_dirs:
+        names = sorted(p.name for p in d.iterdir())
+        stages = {n.split("_", 1)[1].rsplit(".", 1)[0]
+                  for n in names if n.endswith(".npy")}
+        assert "original" in stages
+        # the dropout/speed study pipeline yields intermediates for every op
+        assert any(s.startswith("augment_") for s in stages)
+        assert any(s.startswith("chunk") for s in stages)
+        assert any(s.startswith("normalize") for s in stages)
+        # every stage has raw array + stats + playable render
+        for n in list(names):
+            if n.endswith(".npy"):
+                base = n[:-4]
+                assert f"{base}.txt" in names
+                assert f"{base}.wav" in names
+        # stage artifacts are real audio-sized arrays
+        orig = next(n for n in names if n.endswith("original.npy"))
+        arr = np.load(d / orig)
+        assert arr.ndim == 1 and arr.size > 1000
+
+    # capture is capped: at most 4 sample directories by default
+    assert len(sample_dirs) <= 4
+
+
+def test_failed_train_step_dumps_offending_batch(corpus, tmp_path, capsys):
+    """When a training step raises, the raw (un-stripped) batch is dumped —
+    tensors, stats, and keys — before the exception propagates (reference
+    speaker_recognition_module.py:187-203)."""
+    import run as run_cli
+    from w2v2_speaker_tpu.runtime import experiment as exp
+
+    real_make = exp.make_train_step
+
+    def broken_make(*args, **kwargs):
+        fn = real_make(*args, **kwargs)
+
+        def step(state, batch):
+            raise RuntimeError("synthetic training-step failure")
+
+        return step
+
+    orig = exp.make_train_step
+    exp.make_train_step = broken_make
+    try:
+        with pytest.raises(RuntimeError, match="synthetic training-step"):
+            run_cli.main(_overrides(corpus, tmp_path, []))
+    finally:
+        exp.make_train_step = orig
+
+    out = capsys.readouterr().out
+    assert "offending batch(es) dumped to" in out
+    dump_dir = tmp_path / "debug_batch" / "train_step"
+    assert (dump_dir / "batch_features.npy").exists()
+    assert (dump_dir / "batch_labels.npy").exists()
+    # the raw batch kept its host-only fields: sample keys are on disk
+    keys_files = list(dump_dir.glob("batch_keys*"))
+    assert keys_files, "sample keys missing from the crash dump"

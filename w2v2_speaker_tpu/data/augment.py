@@ -433,7 +433,10 @@ class Augmenter:
         self.yield_intermediate = yield_intermediate_augmentations
         self.yield_unaugmented = yield_unaugmented
 
-    def __call__(self, sample: SpeakerSample):
+    def __call__(self, sample: SpeakerSample, capture=None):
+        # capture: optional fn(stage_name, wav) for per-preprocessor debug
+        # artifacts (runtime.debug.PipelineDebugCapture; the reference's
+        # side_info.pipeline_progress, input_monitor_callback.py:141-145)
         out: List[SpeakerSample] = []
         if self.yield_unaugmented:
             out.append(sample)
@@ -445,6 +448,8 @@ class Augmenter:
                 ground_truth=current.ground_truth,
                 meta=current.meta,
             )
+            if capture is not None:
+                capture(f"augment_{aug.name}", new.wav)
             if self.yield_intermediate:
                 out.append(new)
             if self.stack:

@@ -27,7 +27,16 @@ import pathlib
 import queue as queue_mod
 import threading
 from dataclasses import dataclass, field
-from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence
+from typing import (
+    Any,
+    Callable,
+    Dict,
+    Iterable,
+    Iterator,
+    List,
+    Optional,
+    Sequence,
+)
 
 import numpy as np
 
@@ -103,6 +112,11 @@ class VoxCelebConfig:
     seed: int = 123
     host_id: int = 0
     num_hosts: int = 1
+    # runtime-installed (not YAML): a runtime.debug.PipelineDebugCapture
+    # recording per-preprocessor intermediates (original/augment/chunk/
+    # normalize) for the first few pipeline samples — the reference's
+    # side_info debug-writer chain (input_monitor_callback.py:93-156)
+    debug_capture: Optional[Any] = None
 
 
 class Prefetcher:
@@ -496,19 +510,36 @@ class VoxCelebDataModule:
                 )
             if not np.isfinite(sample.wav).all():
                 raise ValueError(f"NaN/inf in decoded sample {sample.key}")
+            # per-preprocessor debug artifacts for the first few samples
+            # (reference side_info.pipeline_progress + debug writers,
+            # input_monitor_callback.py:93-156)
+            cap = cfg.debug_capture
+            record = (
+                (lambda stage, wav: cap.record(sample.key, stage, wav))
+                if cap is not None and cap.wants(sample.key)
+                else None
+            )
+            if record is not None:
+                record("original", sample.wav)
             processed = [sample]
             if train and cfg.augmenter is not None:
                 processed = [
-                    s for p in processed for s in cfg.augmenter(p)
+                    s
+                    for p in processed
+                    for s in cfg.augmenter(p, capture=record)
                 ]
             out = []
             for s in processed:
-                for chunk in selector(s.wav, rng):
+                for ci, chunk in enumerate(selector(s.wav, rng)):
+                    if record is not None:
+                        record(f"chunk{ci}", chunk)
                     wav = (
                         normalize_waveform(chunk)
                         if cfg.normalize_input
                         else chunk
                     )
+                    if record is not None and cfg.normalize_input:
+                        record(f"normalize{ci}", wav)
                     out.append(
                         SpeakerSample(s.key, wav.astype(np.float32),
                                       s.ground_truth, s.meta)

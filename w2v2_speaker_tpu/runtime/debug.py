@@ -12,12 +12,18 @@ Equivalents of the reference's debug machinery (SURVEY §2.7, §4):
 from __future__ import annotations
 
 import pathlib
+import threading
 from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
 
-__all__ = ["debug_tensor_content", "dump_first_batch", "model_summary"]
+__all__ = [
+    "debug_tensor_content",
+    "dump_first_batch",
+    "model_summary",
+    "PipelineDebugCapture",
+]
 
 
 def debug_tensor_content(
@@ -58,6 +64,64 @@ def dump_first_batch(batch: Dict[str, Any], save_dir: pathlib.Path) -> None:
             )
         else:
             (save_dir / f"batch_{key}.txt").write_text(repr(value))
+
+
+class PipelineDebugCapture:
+    """Per-preprocessor debug artifacts for the first few pipeline samples.
+
+    Role of the reference's per-sample `side_info.pipeline_progress` +
+    debug-writer chain (`callbacks/input_monitor_callback.py:93-156`: the
+    original tensor is saved as .npy and a playable .wav, then every
+    preprocessing stage writes its intermediate through its debug writer).
+    Here each captured sample gets a directory of numbered stage artifacts
+    (`00_original`, `01_augment_<op>`, `02_chunk0`, `03_normalize0`, ...),
+    each as raw `.npy` + stats `.txt` + a 16-bit `.wav` render.
+
+    Thread-safe: the speaker pipeline may run `process_one` under a
+    `ParallelMap` worker pool.
+    """
+
+    def __init__(
+        self,
+        out_dir: pathlib.Path,
+        max_samples: int = 4,
+        sample_rate: int = 16000,
+    ):
+        self.out_dir = pathlib.Path(out_dir)
+        self.max_samples = int(max_samples)
+        self.sample_rate = int(sample_rate)
+        self._stage_idx: Dict[str, int] = {}
+        self._lock = threading.Lock()
+
+    def wants(self, key: str) -> bool:
+        with self._lock:
+            return key in self._stage_idx or (
+                len(self._stage_idx) < self.max_samples
+            )
+
+    def record(self, key: str, stage: str, wav) -> None:
+        with self._lock:
+            if key not in self._stage_idx:
+                if len(self._stage_idx) >= self.max_samples:
+                    return
+                self._stage_idx[key] = 0
+            idx = self._stage_idx[key]
+            self._stage_idx[key] += 1
+        arr = np.asarray(wav)
+        d = self.out_dir / key.replace("/", "_")
+        name = f"{idx:02d}_{stage}"
+        debug_tensor_content(arr, name, d, print_stats=False)
+        if arr.ndim == 1 and arr.size:
+            # playable render beside the raw array (the reference's
+            # torchaudio.save of original/stage tensors)
+            from ..data.io import write_wav
+
+            peak = float(np.abs(arr).max()) or 1.0
+            write_wav(
+                d / f"{name}.wav",
+                (arr / max(peak, 1.0)).astype(np.float32),
+                self.sample_rate,
+            )
 
 
 def batch_gradient_verification(

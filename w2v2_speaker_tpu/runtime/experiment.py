@@ -692,6 +692,13 @@ def build_optimizer(cfg: Dict) -> optax.GradientTransformation:
     else:
         tx = make(sched)
 
+    # trainer.gradient_clip_val (reference config/trainer/trainer.yaml:64-67,
+    # PL Trainer(gradient_clip_val=...)): clip the GLOBAL grad norm before
+    # the optimizer sees the gradients; 0/null means no clipping
+    clip_val = float(cfg["trainer"].get("gradient_clip_val") or 0)
+    if clip_val > 0:
+        tx = optax.chain(optax.clip_by_global_norm(clip_val), tx)
+
     net = cfg["network"]
     if net.get("wav2vec_initially_frozen"):
         tx = make_freeze_schedule_tx(
@@ -770,6 +777,30 @@ def _validate_int8_config(cfg: Dict) -> None:
         )
 
 
+def _apply_fast_dev_run(cfg: Dict) -> None:
+    """trainer.fast_dev_run (reference config/trainer/trainer.yaml:50-52, PL
+    Trainer(fast_dev_run=...)): true → 1, an int → n; caps all three
+    limit_*_batches to n, runs n steps + one validation, skips the sanity
+    validation, and disables checkpointing/resume (PL semantics). A smoke
+    run through every phase before committing to a real spend."""
+    fdr = cfg["trainer"].get("fast_dev_run")
+    if not fdr:
+        return
+    n = 1 if fdr is True else int(fdr)
+    t = cfg["trainer"]
+    t["max_steps"] = n
+    t["val_check_interval"] = n
+    t["limit_train_batches"] = n
+    t["limit_val_batches"] = n
+    t["limit_test_batches"] = n
+    t["num_sanity_val_steps"] = 0
+    t["resume"] = False
+    print(
+        f"fast_dev_run: {n} train/val/test batch(es), "
+        "checkpointing disabled"
+    )
+
+
 def run_train_eval(cfg: Dict) -> Optional[float]:
     """Driver (reference main.py:418-551). `fit_model`/`eval_model` gate the
     train and test phases independently: fit_model=false + eval_model=true +
@@ -779,6 +810,7 @@ def run_train_eval(cfg: Dict) -> Optional[float]:
     np.random.seed(seed)
 
     _validate_int8_config(cfg)
+    _apply_fast_dev_run(cfg)
 
     # TPU-optimized PRNG for dropout/layerdrop mask generation: threefry is
     # VPU-expensive; rbg measured 13% faster end-to-end train steps on v5e.
@@ -812,6 +844,20 @@ def run_train_eval(cfg: Dict) -> Optional[float]:
     dm = build_data_module(cfg)
     if hasattr(dm, "summary"):
         print(dm.summary())
+
+    if cfg["trainer"].get("dump_first_batch") and hasattr(
+        getattr(dm, "cfg", None), "debug_capture"
+    ):
+        # per-preprocessor intermediates for the first few pipeline samples,
+        # beside the collated first-batch dump (reference input monitor's
+        # side_info debug writers, input_monitor_callback.py:93-156)
+        from .debug import PipelineDebugCapture
+
+        dm.cfg.debug_capture = PipelineDebugCapture(
+            pathlib.Path(cfg["trainer"]["checkpoint_dir"]).parent
+            / "first_batch"
+            / "per_sample"
+        )
 
     task_kind_tokenizer = (
         dm.tokenizer if isinstance(dm, LibriSpeechDataModule) else None
@@ -989,6 +1035,8 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
     val_every = trainer.get("val_check_interval") or max_steps
     limit_train = trainer.get("limit_train_batches")
     acc = trainer.get("accumulate_grad_batches", 1)
+    min_steps = int(trainer.get("min_steps") or 0)
+    fast_dev = bool(trainer.get("fast_dev_run"))
 
     # one pjit step builder for all five task families (speaker/paired/
     # speech share the loss_fn(params, model_state, batch, rng, train)
@@ -1088,33 +1136,60 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
         return max(take, 1)
 
     buf: List[Dict] = []
+    raw_buf: List[Dict] = []  # un-stripped twins of buf, for crash dumps
+
+    def _dump_failed_step_batches():
+        """The reference auto-dumps the offending batch when a training step
+        raises (speaker_recognition_module.py:187-203, debug_log_batch with
+        name='train_step'); same here for every batch of the failed
+        dispatch — the raw batches still carry keys and host-only fields."""
+        from .debug import dump_first_batch
+
+        dump_dir = (
+            pathlib.Path(trainer["checkpoint_dir"]).parent
+            / "debug_batch"
+            / "train_step"
+        )
+        for i, rb in enumerate(raw_buf):
+            dump_first_batch(
+                rb, dump_dir if len(raw_buf) == 1 else dump_dir / f"chunk{i}"
+            )
+        print(
+            f"training step at step={step} raised; offending batch(es) "
+            f"dumped to {dump_dir}"
+        )
 
     def run_chunk():
-        nonlocal state, step, epoch_batches, buf
-        if prof_active and step == prof_start:
-            jax.profiler.start_trace(str(prof["trace_dir"]))
-        if len(buf) == 1:
-            state, m = get_step_fn(1)(state, shard_batch(buf[0], mesh))
-            per_step = [(buf[0], m)]
-        else:
-            stacked = {
-                key: np.stack([b[key] for b in buf]) for key in buf[0]
-            }
-            state, sm = get_step_fn(len(buf))(
-                state, shard_batch(stacked, mesh, stacked=True)
-            )
-            sm = jax.device_get(sm)  # ONE host sync for the whole chunk
-            per_step = [
-                (buf[i], {key: v[i] for key, v in sm.items()})
-                for i in range(len(buf))
-            ]
-        buf = []
-        for db_i, m in per_step:
-            step += 1
-            if on_step is not None:
-                on_step(db_i, m.pop("_embedding", None))
-            logger.log_step(step, jax.tree.map(float, m))
-            epoch_batches += 1
+        nonlocal state, step, epoch_batches, buf, raw_buf
+        try:
+            if prof_active and step == prof_start:
+                jax.profiler.start_trace(str(prof["trace_dir"]))
+            if len(buf) == 1:
+                state, m = get_step_fn(1)(state, shard_batch(buf[0], mesh))
+                per_step = [(buf[0], m)]
+            else:
+                stacked = {
+                    key: np.stack([b[key] for b in buf]) for key in buf[0]
+                }
+                state, sm = get_step_fn(len(buf))(
+                    state, shard_batch(stacked, mesh, stacked=True)
+                )
+                sm = jax.device_get(sm)  # ONE host sync for the whole chunk
+                per_step = [
+                    (buf[i], {key: v[i] for key, v in sm.items()})
+                    for i in range(len(buf))
+                ]
+            buf = []
+            for db_i, m in per_step:
+                step += 1
+                if on_step is not None:
+                    on_step(db_i, m.pop("_embedding", None))
+                logger.log_step(step, jax.tree.map(float, m))
+                epoch_batches += 1
+        except Exception:
+            _dump_failed_step_batches()
+            raise
+        raw_buf = []
 
     validated_at = -1
 
@@ -1123,7 +1198,9 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
         validated_at = step
         val_metrics = validate_fn(state)
         logger.log_eval(step, val_metrics)
-        ckpt.save_step(state, val_metrics)
+        if not fast_dev:
+            # PL disables checkpointing under fast_dev_run
+            ckpt.save_step(state, val_metrics)
         if plateau_ctl is not None:
             monitor = val_metrics.get(
                 "val_eer", val_metrics.get("val_wer", 1.0)
@@ -1138,12 +1215,39 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
                 )
         if early_stop is not None:
             stop_reason = early_stop.update(val_metrics)
-            if stop_reason is not None:
+            if stop_reason is not None and step < min_steps:
+                # trainer.min_steps (reference trainer.yaml:19-21, PL
+                # Trainer(min_steps=...)): early stopping may not end the
+                # run before min_steps optimizer steps have happened
+                print(
+                    f"early-stop condition at step {step} suppressed: "
+                    f"min_steps={min_steps} not reached ({stop_reason})"
+                )
+                stop_reason = None
+            elif stop_reason is not None:
                 print(f"early stopping at step {step}: {stop_reason}")
+
+    # trainer.num_sanity_val_steps (reference trainer.yaml:57-58, PL default
+    # 2): run N validation batches BEFORE spending on training so a broken
+    # eval path fails at step 0, not at the first val_check_interval. The
+    # results are printed/logged but never checkpoint, never feed early
+    # stopping, and never move the plateau controller (PL discards them).
+    # jax_trace profiling zeroes it like the reference profiler presets
+    # (profiler/simple.yaml:23) so the trace window isn't polluted.
+    sanity = int(trainer.get("num_sanity_val_steps") or 0)
+    if prof_active or fast_dev:
+        sanity = 0
+    if sanity and step < max_steps:
+        print(f"sanity validation: {sanity} batch(es)")
+        sanity_metrics = validate_fn(state, max_batches=sanity)
+        logger.log_eval(
+            step, {f"sanity_{k}": v for k, v in sanity_metrics.items()}
+        )
 
     while step < max_steps and stop_reason is None:
         epoch_batches = 0
         buf = []
+        raw_buf = []
         for batch in train_iter_fn(epoch):
             db = strip_host_fields(batch)
             if not first_batch_dumped and trainer.get("dump_first_batch"):
@@ -1186,6 +1290,7 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
                     db, -(-db["features"].shape[0] // n_data) * n_data
                 )
             buf.append(db)
+            raw_buf.append(batch)
             if len(buf) < chunk_take():
                 continue
             run_chunk()
@@ -1223,7 +1328,16 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
         epoch += 1
     if dropped_ragged:
         print(f"total ragged train batches dropped: {dropped_ragged}")
-    return state, ckpt
+    # fast_dev_run saved no checkpoints: test on the current weights
+    return state, (None if fast_dev else ckpt)
+
+
+def _limit_test_batches(cfg) -> Optional[int]:
+    """trainer.limit_test_batches (reference trainer.yaml:44-48, PL): null →
+    the full test split, 0 → skip the test phase entirely (the reference's
+    debug_trainer sets 0, debug_trainer.yaml:12), N → at most N batches."""
+    v = cfg["trainer"].get("limit_test_batches")
+    return None if v is None else int(v)
 
 
 def _restore_best(state, ckpt, average_top_k: int = 1):
@@ -1322,7 +1436,9 @@ def _run_speaker(cfg, dm, task: SpeakerTask, mesh, logger) -> float:
                 break
         return embs[:max_samples], labels[:max_samples]
 
-    def validate(state):
+    def validate(state, max_batches=None):
+        # max_batches: sanity-validation override (num_sanity_val_steps);
+        # the progress tracker only snapshots real validations
         track = (
             tracker.snapshot(
                 int(state.step),
@@ -1330,14 +1446,15 @@ def _run_speaker(cfg, dm, task: SpeakerTask, mesh, logger) -> float:
                     embed, state, {"features": f, "mask": m}, n_data
                 ),
             )
-            if tracker
+            if tracker and max_batches is None
             else {}
         )
         if not val_pairs:
             return {**track, "val_eer": 1.0}
+        lim = max_batches if max_batches is not None else limit_val
         samples: List[EmbeddingSample] = []
         for i, batch in enumerate(dm.val_batches()):
-            if limit_val and i >= limit_val:
+            if lim and i >= lim:
                 break
             e = _embed_feature_batch(
                 embed, state, strip_host_fields(batch), n_data
@@ -1393,11 +1510,19 @@ def _run_speaker(cfg, dm, task: SpeakerTask, mesh, logger) -> float:
     if not cfg.get("eval_model", True):
         logger.close()
         return None
+    ltb = _limit_test_batches(cfg)
+    if ltb == 0:
+        print("limit_test_batches=0: skipping the test phase")
+        logger.close()
+        return None
     test_pairs = dm.test_evaluation_pairs()
     if not test_pairs:
         final = validate(state)
         logger.close()
         return float(final["val_eer"])
+    test_samples = list(dm.test_samples())
+    if ltb:
+        test_samples = test_samples[: ltb * dl.get("test_batch_size", 8)]
     net = cfg["network"]
     if net.get("use_transformers_as_ensembles") and net["name"] == "wav2vec2_fc":
         # per-transformer-layer ensemble embeddings, scores averaged by the
@@ -1417,7 +1542,7 @@ def _run_speaker(cfg, dm, task: SpeakerTask, mesh, logger) -> float:
         samples = extract_embeddings(
             ens_embed,
             state,
-            list(dm.test_samples()),
+            test_samples,
             pad_to_multiple=dl.get("test_pad_to_multiple", 16000),
             batch_size=dl.get("test_batch_size", 8),
             num_devices=n_data,
@@ -1427,11 +1552,23 @@ def _run_speaker(cfg, dm, task: SpeakerTask, mesh, logger) -> float:
         samples = extract_embeddings(
             embed,
             state,
-            list(dm.test_samples()),
+            test_samples,
             pad_to_multiple=dl.get("test_pad_to_multiple", 16000),
             batch_size=dl.get("test_batch_size", 8),
             num_devices=n_data,
         )
+    if ltb:
+        # a capped extraction covers only a prefix of the test split: score
+        # only the trials whose both sides were embedded
+        seen = {s.sample_id for s in samples}
+        test_pairs = [
+            p for p in test_pairs
+            if p.sample1_id in seen and p.sample2_id in seen
+        ]
+        if not test_pairs:
+            print("limit_test_batches: no scoreable test trials; skipping")
+            logger.close()
+            return None
     evaluator.reset_parameters()
     if max_tr:
         # test-time centering re-extracts with the restored best checkpoint
@@ -1486,7 +1623,7 @@ def _run_paired(cfg, dm, task: PairedSpeakerTask, mesh, logger) -> float:
         out_shardings=batch_sharding(mesh),
     )
 
-    def score_pairs(state, pairs, split):
+    def score_pairs(state, pairs, split, max_batches=None):
         proc = PairedBatchProcessor(
             batch_size=dl["batch_size"],
             max_queue_size=max(_queue_size(cfg), len(pairs) + 1),
@@ -1505,7 +1642,9 @@ def _run_paired(cfg, dm, task: PairedSpeakerTask, mesh, logger) -> float:
             if split == "val"
             else dm.test_samples()
         )
-        for batch in proc(sample_iter):
+        for i, batch in enumerate(proc(sample_iter)):
+            if max_batches is not None and i >= max_batches:
+                break
             db = strip_host_fields(batch)
             n = db["labels"].shape[0]
             db = pad_batch_rows(db, target_bs)
@@ -1515,11 +1654,15 @@ def _run_paired(cfg, dm, task: PairedSpeakerTask, mesh, logger) -> float:
         return paired_scores_to_metrics(gts, scores)
 
     val_pairs = dm.val_evaluation_pairs()
+    limit_val = cfg["trainer"].get("limit_val_batches")
 
-    def validate(state):
+    def validate(state, max_batches=None):
         if not val_pairs:
             return {"val_eer": 1.0}
-        m = score_pairs(state, val_pairs, "val")
+        m = score_pairs(
+            state, val_pairs, "val",
+            max_batches=max_batches if max_batches is not None else limit_val,
+        )
         return {"val_eer": m["eer"], "val_mdc": m["mdc"]}
 
     state, ckpt = _train_loop(
@@ -1532,12 +1675,17 @@ def _run_paired(cfg, dm, task: PairedSpeakerTask, mesh, logger) -> float:
     if not cfg.get("eval_model", True):
         logger.close()
         return None
+    ltb = _limit_test_batches(cfg)
+    if ltb == 0:
+        print("limit_test_batches=0: skipping the test phase")
+        logger.close()
+        return None
     test_pairs = dm.test_evaluation_pairs()
     if not test_pairs:
         final = validate(state)
         logger.close()
         return float(final["val_eer"])
-    res = score_pairs(state, test_pairs, "test")
+    res = score_pairs(state, test_pairs, "test", max_batches=ltb)
     logger.log_eval(int(state.step), {f"test_{k}": v for k, v in res.items()},
                     split="test")
     logger.close()
@@ -1634,13 +1782,14 @@ def _run_speech(cfg, dm, task: SpeechTask, mesh, logger) -> float:
     )
     _wer = _make_wer_fn(dm, task, jit_logits, eval_bs, eval_rows)
 
-    def validate(state):
+    def validate(state, max_batches=None):
         track_transcription(state)
+        lim = max_batches if max_batches is not None else limit_val
         metrics = {}
         for split in ("val_clean", "val_other"):
             if split not in dm.cfg.split_dirs:
                 continue
-            wer = _wer(state, split, limit=limit_val)
+            wer = _wer(state, split, limit=lim)
             if wer is not None:
                 metrics[f"val_wer_{split.split('_')[1]}"] = wer
         metrics["val_wer"] = metrics.get(
@@ -1661,10 +1810,15 @@ def _run_speech(cfg, dm, task: SpeechTask, mesh, logger) -> float:
     if not cfg.get("eval_model", True):
         logger.close()
         return None
+    ltb = _limit_test_batches(cfg)
+    if ltb == 0:
+        print("limit_test_batches=0: skipping the test phase")
+        logger.close()
+        return None
     results = {}
     for split in ("test_clean", "test_other"):
         if split in dm.cfg.split_dirs:
-            wer = _wer(state, split)
+            wer = _wer(state, split, limit=ltb)
             if wer is not None:
                 results[split] = wer
     if results:
@@ -1760,15 +1914,20 @@ def _run_multitask(cfg, dm, task, mesh, logger) -> float:
             evaluator.fit_parameters(tr_embs[:max_tr], tr_labels[:max_tr])
         return evaluator.evaluate(usable, samples)
 
-    def validate(state):
+    def validate(state, max_batches=None):
         track_transcription(state)
+        lim = max_batches if max_batches is not None else limit_val
         metrics = {}
         for split in val_splits:
-            wer = _wer(state, split, limit=limit_val)
+            wer = _wer(state, split, limit=lim)
             if wer is not None:
                 metrics[f"val_wer_{split.split('_')[1]}"] = wer
         metrics["val_wer"] = metrics.get("val_wer_clean", 1.0)
-        res = _eer(state, val_splits[0], val_pairs) if val_splits else None
+        res = (
+            _eer(state, val_splits[0], val_pairs, limit=max_batches)
+            if val_splits
+            else None
+        )
         if res is not None:
             metrics["val_eer"] = res["eer"]
             metrics["val_mdc"] = res["mdc"]
@@ -1790,18 +1949,23 @@ def _run_multitask(cfg, dm, task, mesh, logger) -> float:
         logger.close()
         return None
 
+    ltb = _limit_test_batches(cfg)
+    if ltb == 0:
+        print("limit_test_batches=0: skipping the test phase")
+        logger.close()
+        return None
     results = {}
     test_splits = [
         s for s in ("test_clean", "test_other") if s in dm.cfg.split_dirs
     ]
     for split in test_splits:
-        wer = _wer(state, split)
+        wer = _wer(state, split, limit=ltb)
         if wer is not None:
             results[f"{split}_wer"] = wer
     test_eer = None
     if test_splits:
         test_pairs = dm.val_evaluation_pairs(test_splits[0], num_pairs)
-        res = _eer(state, test_splits[0], test_pairs)
+        res = _eer(state, test_splits[0], test_pairs, limit=ltb)
         if res is not None:
             test_eer = res["eer"]
             results["test_eer"] = test_eer
