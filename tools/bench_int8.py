@@ -33,9 +33,9 @@ def main():
         "--sweep-batches",
         type=str,
         default=None,
-        help="comma-separated batch sizes; int8-only throughput sweep in "
-        "ONE session (cross-session readings differ ±2%% on this host — "
-        "batch A/Bs are only valid back-to-back in one process)",
+        help="comma-separated batch sizes; bf16 AND int8 throughput at "
+        "each size in ONE session (cross-session readings differ ±2%% on "
+        "this host — A/Bs are only valid back-to-back in one process)",
     )
     args = ap.parse_args()
 
@@ -116,8 +116,11 @@ def main():
         )
 
     if args.sweep_batches:
+        # full bf16 x int8 matrix in ONE session so every pair of rows is a
+        # valid back-to-back A/B (cross-session readings differ ±2%)
         for b in (int(s) for s in args.sweep_batches.split(",")):
-            measure(f"int8 B={b}", True, b)
+            for label, int8 in (("bf16", False), ("int8", True)):
+                measure(f"{label} B={b}", int8, b)
     else:
         for label, int8 in (("bf16", False), ("int8", True)):
             measure(label, int8, args.batch)
