@@ -40,7 +40,12 @@ def main():
     ap.add_argument("--iters", type=int, default=24)
     ap.add_argument(
         "--only", nargs="*", default=None,
-        help="subset of {loss,proj,specaug,tail,frame}",
+        help="subset of {step,loss,proj,specaug,tail,posconv,frame}",
+    )
+    ap.add_argument(
+        "--no-mask", action="store_true",
+        help="run step/loss without wav masks (the fixed-crop production "
+        "path the 117.6 ms round-2 figure was measured on)",
     )
     args = ap.parse_args()
 
@@ -67,7 +72,8 @@ def main():
     assert jax.devices()[0].platform == "tpu", "run on the TPU host"
 
     w2v2 = dataclasses.replace(
-        BASE_CONFIG, dtype="bfloat16", layerdrop=0.05
+        BASE_CONFIG, dtype="bfloat16", layerdrop=0.05,
+        encoder_unroll=99,  # production default (unrolled bwd, PERF.md)
     )
     b = args.batch
     n = int(16000 * args.seconds)
@@ -129,9 +135,12 @@ def main():
             return jnp.ones(x.shape, bool)
         return fresh(x.shape)
 
-    want = set(args.only or ["loss", "proj", "specaug", "tail", "frame"])
+    want = set(
+        args.only or ["step", "loss", "proj", "specaug", "tail", "frame"]
+    )
+    use_mask = not args.no_mask
 
-    if "loss" in want:
+    if "loss" in want or "step" in want:
         model = Wav2Vec2SpeakerModel(
             cfg=Wav2Vec2SpeakerConfig(w2v2=w2v2, stat_pooling_type="mean"),
             num_speakers=5994,
@@ -145,8 +154,42 @@ def main():
             wav0, jnp.ones((2, n), bool),
         )
 
+    if "step" in want:
+        import optax
+
+        from w2v2_speaker_tpu.train.state import TrainState
+        from w2v2_speaker_tpu.train.steps import make_train_step
+
+        state = TrainState.create(
+            apply_fn=model.apply, params=variables["params"],
+            tx=optax.adam(1e-4), rng=jax.random.PRNGKey(0),
+        )
+        step_fn = make_train_step(task, mesh=None)
+
+        def full_step(st, wav, mask, labels, i):
+            b_ = {"features": wav, "labels": labels}
+            if use_mask:
+                b_["mask"] = mask
+            st2, metrics = step_fn(st, b_)
+            # scalar with a param dependence so the optimizer update is live
+            return metrics["loss"].astype(jnp.float32) + 1e-30 * sum(
+                x.astype(jnp.float32).sum()
+                for x in jax.tree.leaves(st2.params)
+            )
+
+        timed_loop(
+            full_step,
+            f"full train step ({'masked' if use_mask else 'mask-free'})",
+            state,
+            fresh((b, n)), jnp.ones((b, n), bool),
+            jnp.asarray(rng.integers(0, 5994, b).astype(np.int32)),
+        )
+
+    if "loss" in want:
         def loss_fwd_bwd(p, wav, mask, labels, i):
-            batch = {"features": wav, "mask": mask, "labels": labels}
+            batch = {"features": wav, "labels": labels}
+            if use_mask:
+                batch["mask"] = mask
             key = jax.random.PRNGKey(i.astype(jnp.int32))
 
             def lf(p_):
@@ -243,6 +286,36 @@ def main():
             tail_fb, "mean pool + head + CE + accuracy fwd+bwd",
             hp, x0, labels0,
         )
+
+    if "posconv" in want:
+        # both formulations in ONE session (the round-4 trace measured the
+        # native grouped form at 10.8 ms inside the step vs PERF's 5.8 ms
+        # isolated decomposed row — settle it back-to-back)
+        from w2v2_speaker_tpu.models.wav2vec2 import PosConvEmbedding
+
+        x0 = fresh((b, t, h)).astype(jnp.bfloat16)
+        for label, decomposed in (
+            ("native grouped", False), ("decomposed per-group", True)
+        ):
+            cfg_p = dataclasses.replace(
+                w2v2, posconv_decomposed=decomposed
+            )
+            mod = PosConvEmbedding(cfg_p)
+            pp = mod.init(jax.random.PRNGKey(0), x0[:2])["params"]
+
+            def pc_fb(p, x, i, _mod=mod):
+                def lf(p_):
+                    return _mod.apply(
+                        {"params": p_}, x
+                    ).astype(jnp.float32).sum()
+
+                val, g = jax.value_and_grad(lf)(p)
+                return val + 1e-30 * sum(
+                    v.astype(jnp.float32).sum()
+                    for v in jax.tree.leaves(g)
+                )
+
+            timed_loop(pc_fb, f"pos conv fwd+bwd ({label})", pp, x0)
 
     if "frame" in want:
         # float carry (fori_loop needs a dtype-stable carry); validity is
