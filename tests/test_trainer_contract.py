@@ -247,6 +247,35 @@ def test_limit_test_batches_caps_and_filters_pairs(corpus, tmp_path):
     assert objective is None or 0.0 <= objective <= 1.0
 
 
+def test_limit_train_batches_caps_per_epoch_not_per_run(
+    corpus, tmp_path, capsys
+):
+    """limit_train_batches caps batches PER EPOCH; training continues into
+    later epochs until max_steps (PL semantics — the reference's
+    debug_trainer pairs limit_train_batches=10 with max_epochs=1000,
+    debug_trainer.yaml:10-15). Regression: the loop used to break after the
+    first capped epoch, so max_steps past one epoch was unreachable."""
+    import run as run_cli
+
+    run_cli.main(
+        _overrides(
+            corpus,
+            tmp_path,
+            [
+                "trainer.limit_train_batches=2",
+                "trainer.max_steps=6",
+                "trainer.val_check_interval=1000",
+                "trainer.log_every=2",
+            ],
+        )
+    )
+    out = capsys.readouterr().out
+    # three capped epochs of 2 steps each reach the 6-step target
+    assert "train step 6:" in out
+    # the capped epoch end still validates (epoch-cap validation)
+    assert "val step 2:" in out
+
+
 def test_default_trainer_exposes_reference_knobs():
     from w2v2_speaker_tpu.runtime.config import load_config
 

@@ -1316,13 +1316,16 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
                 run_validation()
         if stop_reason is not None:
             break
-        if limit_train and step < max_steps:
-            # debug-trainer style epoch cap: also run validation at the end
-            # (unless the cap landed exactly on a val boundary and this step
-            # was already validated above)
-            if validated_at != step:
-                run_validation()
-            break
+        if limit_train and step < max_steps and validated_at != step:
+            # limit_train_batches caps batches PER EPOCH (PL semantics: the
+            # reference debug_trainer pairs limit_train_batches=10 with
+            # max_epochs=1000, debug_trainer.yaml:10-15) — validate at the
+            # capped epoch end (unless the cap landed exactly on a val
+            # boundary and this step was already validated above) and keep
+            # training into the next epoch until max_steps.
+            run_validation()
+            if stop_reason is not None:
+                break
         if epoch_batches == 0:
             raise RuntimeError("train loader yielded no usable batches")
         epoch += 1
