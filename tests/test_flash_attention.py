@@ -363,3 +363,126 @@ def test_kernel_dispatch_profitability():
     assert _kernel_profitable(3072)
     assert _kernel_profitable(4096)
     assert _kernel_profitable(6016)       # the 2-min-utterance shape
+
+
+# ------------------------------- XLA fallback dropout (counter-hash, round 4)
+
+
+def test_xla_fallback_keep_mask_matches_kernel_hash():
+    """attention_dropout_keep (the XLA-path mask) must be bit-identical to
+    the kernel's in-block _dropout_keep, i.e. to the numpy recreation that
+    DEFINES the mask — same seed → same mask on every path."""
+    from w2v2_speaker_tpu.ops.flash_attention import attention_dropout_keep
+
+    b, h, t, rate, seed = 3, 2, 64, 0.2, 4242
+    got = np.asarray(
+        attention_dropout_keep(
+            jnp.asarray([seed], jnp.int32), b, h, t, t, rate
+        )
+    )
+    for bi in range(b):
+        for hi in range(h):
+            np.testing.assert_array_equal(
+                got[bi, hi], _np_keep_mask(seed, bi * h + hi, t, rate)
+            )
+
+
+def test_xla_fallback_dropout_matches_kernel_same_seed():
+    """The short-sequence XLA fallback and the Pallas kernel draw the SAME
+    dropout mask for the same seed: outputs agree to accumulation-order
+    tolerance (f32)."""
+    from w2v2_speaker_tpu.ops.flash_attention import (
+        _xla_dropout_attention,
+        flash_attention_kernel,
+    )
+
+    b, t, h, d, rate, seed = 2, 128, 3, 32, 0.1, 99
+    q, k, v = _qkv(b=b, t=t, h=h, d=d, seed=21)
+    seed_arr = jnp.asarray([seed], jnp.int32)
+    kernel = np.asarray(
+        flash_attention_kernel(
+            q, k, v, interpret=True, dropout_rate=rate,
+            dropout_seed=seed_arr,
+        )
+    )
+    fallback = np.asarray(
+        _xla_dropout_attention(q, k, v, None, rate, seed_arr)
+    )
+    np.testing.assert_allclose(fallback, kernel, rtol=2e-4, atol=2e-5)
+
+
+def test_public_entry_dropout_deterministic_per_key():
+    """flash_attention(dropout_rate, rng): same key → same output, another
+    key → different output (dropout still stochastic across keys)."""
+    from w2v2_speaker_tpu.ops.flash_attention import flash_attention
+
+    q, k, v = _qkv(t=96, seed=22)
+    mk = lambda s: np.asarray(
+        flash_attention(
+            q, k, v, dropout_rate=0.2, rng=jax.random.PRNGKey(s)
+        )
+    )
+    a, b_, c = mk(5), mk(5), mk(6)
+    np.testing.assert_array_equal(a, b_)
+    assert not np.allclose(a, c)
+
+
+# ------------------------------------------- HashDropout module (round 4)
+
+
+def test_hash_dropout_rate_scaling_and_determinism():
+    """HashDropout: kept elements scaled by 1/(1-rate), dropped exactly 0,
+    empirical drop fraction ~= rate, same key -> same mask."""
+    from w2v2_speaker_tpu.models.wav2vec2 import HashDropout
+
+    rate = 0.3
+    x = jnp.ones((8, 64, 128), jnp.float32)
+    mod = HashDropout(rate=rate)
+    run = lambda s: np.asarray(
+        mod.apply({}, x, rngs={"dropout": jax.random.PRNGKey(s)})
+    )
+    y, y2, y3 = run(0), run(0), run(1)
+    np.testing.assert_array_equal(y, y2)
+    assert not np.array_equal(y, y3)
+    vals = np.unique(y)
+    np.testing.assert_allclose(
+        vals, [0.0, 1.0 / (1.0 - rate)], rtol=1e-6
+    )
+    drop_frac = float((y == 0).mean())
+    assert abs(drop_frac - rate) < 0.01, drop_frac
+
+
+def test_hash_dropout_deterministic_mode_is_identity():
+    from w2v2_speaker_tpu.models.wav2vec2 import HashDropout
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, 8)))
+    y = HashDropout(rate=0.5, deterministic=True).apply(
+        {}, x, rngs={"dropout": jax.random.PRNGKey(0)}
+    )
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_hash_dropout_bernoulli_fallback_semantics():
+    """use_hash=False: jax.random.bernoulli sampler with nn.Dropout
+    semantics (kept elements scaled, dropped zeroed, fraction ~= rate) —
+    and a DIFFERENT mask stream than the hash sampler for the same key."""
+    from w2v2_speaker_tpu.models.wav2vec2 import HashDropout
+
+    rate = 0.2
+    x = jnp.ones((8, 64, 128), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    got = np.asarray(
+        HashDropout(rate=rate, use_hash=False).apply(
+            {}, x, rngs={"dropout": key}
+        )
+    )
+    np.testing.assert_allclose(
+        np.unique(got), [0.0, 1.0 / (1.0 - rate)], rtol=1e-6
+    )
+    assert abs(float((got == 0).mean()) - rate) < 0.01
+    hashed = np.asarray(
+        HashDropout(rate=rate, use_hash=True).apply(
+            {}, x, rngs={"dropout": key}
+        )
+    )
+    assert not np.array_equal(got, hashed)

@@ -17,7 +17,8 @@ remote-TPU transport): fori_loop-chained iterations in ONE program, fresh
 input data per request, n-vs-2n differential, float() barrier, min of 3.
 
 Usage: python tools/bench_residual.py [--batch 66] [--iters 24]
-       [--only loss proj specaug tail frame]
+       [--only loss proj specaug tail frame] [--no-mask] [--no-dropout]
+       [--zero field1,field2] [--bernoulli-dropout] [--ab-dropout]
 """
 
 from __future__ import annotations
@@ -47,6 +48,29 @@ def main():
         help="run step/loss without wav masks (the fixed-crop production "
         "path the 117.6 ms round-2 figure was measured on)",
     )
+    ap.add_argument(
+        "--no-dropout", action="store_true",
+        help="zero every dropout rate + layerdrop + SpecAugment in the "
+        "step/loss probes (isolates the stochastic-op cost in-program)",
+    )
+    ap.add_argument(
+        "--zero", type=str, default=None,
+        help="comma-separated Wav2Vec2Config float fields to zero for the "
+        "step/loss probes (e.g. layerdrop,attention_dropout) — per-knob "
+        "attribution of the stochastic-op cost",
+    )
+    ap.add_argument(
+        "--bernoulli-dropout", action="store_true",
+        help="hash_dropout=False + attention_impl='xla' for the step/loss "
+        "probes: every dropout mask via jax.random.bernoulli (the "
+        "pre-round-4 sampler) — A/B against the default counter-hash "
+        "in one session",
+    )
+    ap.add_argument(
+        "--ab-dropout", action="store_true",
+        help="run the step probe twice in THIS process — counter-hash "
+        "then bernoulli sampler — the trustworthy same-session A/B",
+    )
     args = ap.parse_args()
 
     import jax
@@ -75,6 +99,20 @@ def main():
         BASE_CONFIG, dtype="bfloat16", layerdrop=0.05,
         encoder_unroll=99,  # production default (unrolled bwd, PERF.md)
     )
+    if args.no_dropout:
+        w2v2 = dataclasses.replace(
+            w2v2, layerdrop=0.0, hidden_dropout=0.0, attention_dropout=0.0,
+            feat_proj_dropout=0.0, activation_dropout=0.0,
+            mask_time_prob=0.0, mask_feature_prob=0.0,
+        )
+    if args.zero:
+        w2v2 = dataclasses.replace(
+            w2v2, **{f: 0.0 for f in args.zero.split(",")}
+        )
+    if args.bernoulli_dropout:
+        w2v2 = dataclasses.replace(
+            w2v2, hash_dropout=False, attention_impl="xla"
+        )
     b = args.batch
     n = int(16000 * args.seconds)
     # conv output length for the probe shapes (149 at 3 s)
@@ -140,9 +178,21 @@ def main():
     )
     use_mask = not args.no_mask
 
-    if "loss" in want or "step" in want:
+    # dropout-sampler A/B in ONE process (cross-session reads vary ±2%,
+    # CLAUDE.md): step/loss probes run per variant, back to back
+    if args.ab_dropout:
+        variants = [
+            ("hash", w2v2),
+            ("bernoulli", dataclasses.replace(
+                w2v2, hash_dropout=False, attention_impl="xla"
+            )),
+        ]
+    else:
+        variants = [("", w2v2)]
+
+    def build(cfg_):
         model = Wav2Vec2SpeakerModel(
-            cfg=Wav2Vec2SpeakerConfig(w2v2=w2v2, stat_pooling_type="mean"),
+            cfg=Wav2Vec2SpeakerConfig(w2v2=cfg_, stat_pooling_type="mean"),
             num_speakers=5994,
         )
         task = SpeakerTask(model=model, mode="ce")
@@ -153,6 +203,11 @@ def main():
             )},
             wav0, jnp.ones((2, n), bool),
         )
+        return model, task, variables
+
+    if "loss" in want or "step" in want:
+        built = [(tag, *build(cfg_)) for tag, cfg_ in variants]
+        model, task, variables = built[0][1:]
 
     if "step" in want:
         import optax
@@ -160,30 +215,32 @@ def main():
         from w2v2_speaker_tpu.train.state import TrainState
         from w2v2_speaker_tpu.train.steps import make_train_step
 
-        state = TrainState.create(
-            apply_fn=model.apply, params=variables["params"],
-            tx=optax.adam(1e-4), rng=jax.random.PRNGKey(0),
-        )
-        step_fn = make_train_step(task, mesh=None)
-
-        def full_step(st, wav, mask, labels, i):
-            b_ = {"features": wav, "labels": labels}
-            if use_mask:
-                b_["mask"] = mask
-            st2, metrics = step_fn(st, b_)
-            # scalar with a param dependence so the optimizer update is live
-            return metrics["loss"].astype(jnp.float32) + 1e-30 * sum(
-                x.astype(jnp.float32).sum()
-                for x in jax.tree.leaves(st2.params)
+        for tag, model_, task_, variables_ in built:
+            state = TrainState.create(
+                apply_fn=model_.apply, params=variables_["params"],
+                tx=optax.adam(1e-4), rng=jax.random.PRNGKey(0),
             )
+            step_fn = make_train_step(task_, mesh=None)
 
-        timed_loop(
-            full_step,
-            f"full train step ({'masked' if use_mask else 'mask-free'})",
-            state,
-            fresh((b, n)), jnp.ones((b, n), bool),
-            jnp.asarray(rng.integers(0, 5994, b).astype(np.int32)),
-        )
+            def full_step(st, wav, mask, labels, i, _fn=step_fn):
+                b_ = {"features": wav, "labels": labels}
+                if use_mask:
+                    b_["mask"] = mask
+                st2, metrics = _fn(st, b_)
+                # scalar with a param dependence so the optimizer update
+                # is live
+                return metrics["loss"].astype(jnp.float32) + 1e-30 * sum(
+                    x.astype(jnp.float32).sum()
+                    for x in jax.tree.leaves(st2.params)
+                )
+
+            label = f"full train step ({'masked' if use_mask else 'mask-free'}"
+            label += f", {tag})" if tag else ")"
+            timed_loop(
+                full_step, label, state,
+                fresh((b, n)), jnp.ones((b, n), bool),
+                jnp.asarray(rng.integers(0, 5994, b).astype(np.int32)),
+            )
 
     if "loss" in want:
         def loss_fwd_bwd(p, wav, mask, labels, i):

@@ -124,6 +124,20 @@ class Wav2Vec2Config:
     # parameter layout (checkpoints/converter/TP rules untouched); no
     # gradient path — training configs must keep this False.
     int8_matmuls: bool = False
+    # Dropout mask sampler. True (default) draws every dropout keep mask
+    # (feat-proj, in-layer hidden/activation, encoder-top, XLA-path
+    # attention probs) from the murmur3 counter-hash the flash kernel
+    # already uses in-block (ops/flash_attention.attention_dropout_keep):
+    # ~8 fusable int ops per element instead of a standalone rbg PRNG pass
+    # over the activation/probs tensor. Same scaled-Bernoulli semantics
+    # (rate exact to 2^-32), deterministic per rng key. False restores
+    # jax.random.bernoulli (nn.Dropout) masks — different stream, same
+    # distribution — at every nn site and in the "xla" attention impl;
+    # the flash kernel's in-block dropout is counter-hash by construction
+    # (it regenerates the mask in the backward instead of storing [T, T]
+    # probs). Measured A/B at BASE batch-66 x 3 s: see PERF.md round-4
+    # "dropout sampler" table.
+    hash_dropout: bool = True
 
 
 BASE_CONFIG = Wav2Vec2Config()
@@ -324,6 +338,53 @@ class ConvFeatureEncoder(nn.Module):
         return x
 
 
+class HashDropout(nn.Module):
+    """Drop-in `nn.Dropout` replacement on the counter-hash Bernoulli
+    sampler (`ops/flash_attention.attention_dropout_keep`).
+
+    Rationale (measured, PERF.md round-4 dropout-sampler table): drawing
+    every dropout mask from the fused murmur3 counter-hash instead of
+    `jax.random.bernoulli` takes the BASE batch-66 train step from 112.4
+    to 102.7 ms (same-session A/B) — the rbg key-derivation chains and
+    their backward recomputation serialize against the matmul stream,
+    while the hash is ~8 int ops/element fused into the surrounding
+    elementwise chain. Same "dropout" rng collection, same
+    scaled-Bernoulli semantics (exact rate to 2^-32), deterministic per
+    seed.
+    """
+
+    rate: float
+    deterministic: bool = False
+    # False restores the nn.Dropout sampler (jax.random.bernoulli) — kept
+    # reachable via Wav2Vec2Config.hash_dropout for A/B; distribution-
+    # identical to flax nn.Dropout (the stream differs only by this
+    # module's path name in flax's rng fold).
+    use_hash: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.deterministic or self.rate <= 0.0:
+            return x
+        if not self.use_hash:
+            keep = jax.random.bernoulli(
+                self.make_rng("dropout"), 1.0 - self.rate, x.shape
+            )
+            return jnp.where(
+                keep, x / (1.0 - self.rate), jnp.zeros((), x.dtype)
+            )
+        from ..ops.flash_attention import (
+            attention_dropout_keep,
+            dropout_seed_from_rng,
+        )
+
+        seed = dropout_seed_from_rng(self.make_rng("dropout"))
+        b, t, c = x.shape
+        keep = attention_dropout_keep(seed, b, 1, t, c, self.rate)[:, 0]
+        return jnp.where(
+            keep, x / (1.0 - self.rate), jnp.zeros((), x.dtype)
+        )
+
+
 class FeatureProjection(nn.Module):
     cfg: Wav2Vec2Config
 
@@ -334,8 +395,9 @@ class FeatureProjection(nn.Module):
             epsilon=self.cfg.layer_norm_eps, dtype=dtype, name="layer_norm"
         )(x)
         x = _dense(self.cfg, self.cfg.hidden_size, dtype, "projection")(x)
-        x = nn.Dropout(
-            rate=self.cfg.feat_proj_dropout, deterministic=not train
+        x = HashDropout(
+            rate=self.cfg.feat_proj_dropout, deterministic=not train,
+            use_hash=self.cfg.hash_dropout,
         )(x)
         return x
 
@@ -420,15 +482,36 @@ class PosConvEmbedding(nn.Module):
         return nn.gelu(out, approximate=False)
 
 
-def _xla_attention(q, k, v, bias, dropout_rate, deterministic, rng):
+def _xla_attention(
+    q, k, v, bias, dropout_rate, deterministic, rng, use_hash=True
+):
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
     if bias is not None:
         logits = logits + bias
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
     if dropout_rate > 0 and not deterministic:
-        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, probs.shape)
-        probs = probs * keep / (1.0 - dropout_rate)
+        if use_hash:
+            # counter-hash keep mask, not jax.random.bernoulli: 0.108 vs
+            # 0.391 ms per layer at the T=149 training shape (PERF.md
+            # round-4 dropout-sampler table); same sampler the flash
+            # kernel regenerates in-block
+            from ..ops.flash_attention import (
+                attention_dropout_keep,
+                dropout_seed_from_rng,
+            )
+
+            b, t, h, _ = q.shape
+            keep = attention_dropout_keep(
+                dropout_seed_from_rng(rng), b, h, t, k.shape[1],
+                dropout_rate,
+            )
+            probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+        else:
+            keep = jax.random.bernoulli(
+                rng, 1.0 - dropout_rate, probs.shape
+            )
+            probs = probs * keep / (1.0 - dropout_rate)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
@@ -478,6 +561,7 @@ class SelfAttention(nn.Module):
                 cfg.attention_dropout,
                 not train,
                 rng,
+                use_hash=cfg.hash_dropout,
             )
         out = out.reshape(b, t, h)
         return _dense(cfg, h, dtype, "out_proj")(out)
@@ -528,9 +612,10 @@ class EncoderLayer(nn.Module):
         attn = SelfAttention(cfg, name="attention")(
             attn_in, attention_bias, train=train
         )
-        attn = nn.Dropout(rate=cfg.hidden_dropout, deterministic=not train)(
-            attn
-        )
+        attn = HashDropout(
+            rate=cfg.hidden_dropout, deterministic=not train,
+            use_hash=cfg.hash_dropout,
+        )(attn)
         x = x + attn
         if not pre:
             x = nn.LayerNorm(
@@ -550,11 +635,15 @@ class EncoderLayer(nn.Module):
             ff_in
         )
         h = nn.gelu(h, approximate=False)
-        h = nn.Dropout(
-            rate=cfg.activation_dropout, deterministic=not train
+        h = HashDropout(
+            rate=cfg.activation_dropout, deterministic=not train,
+            use_hash=cfg.hash_dropout,
         )(h)
         h = _dense(cfg, cfg.hidden_size, dtype, "output_dense")(h)
-        h = nn.Dropout(rate=cfg.hidden_dropout, deterministic=not train)(h)
+        h = HashDropout(
+            rate=cfg.hidden_dropout, deterministic=not train,
+            use_hash=cfg.hash_dropout,
+        )(h)
         x = x + h
         if not pre:
             x = nn.LayerNorm(
@@ -609,7 +698,10 @@ class Encoder(nn.Module):
             x = nn.LayerNorm(
                 epsilon=cfg.layer_norm_eps, dtype=dtype, name="layer_norm"
             )(x)
-        x = nn.Dropout(rate=cfg.hidden_dropout, deterministic=not train)(x)
+        x = HashDropout(
+            rate=cfg.hidden_dropout, deterministic=not train,
+            use_hash=cfg.hash_dropout,
+        )(x)
 
         # lax.scan over stacked layer params: 1 copy of the layer HLO
         # instead of num_layers copies — an order of magnitude faster XLA

@@ -44,7 +44,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention", "flash_attention_kernel", "reference_attention"]
+__all__ = [
+    "flash_attention",
+    "flash_attention_kernel",
+    "reference_attention",
+    "attention_dropout_keep",
+    "dropout_seed_from_rng",
+]
 
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 _LANES = 128
@@ -98,6 +104,51 @@ def _dropout_keep(seed, bh, qstart, kstart, shape, rate: float):
     x = x * jnp.uint32(0xC2B2AE35)
     x = x ^ (x >> 16)
     return x >= jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
+
+
+def attention_dropout_keep(
+    seed: jax.Array, b: int, h: int, tq: int, tk: int, rate: float
+) -> jax.Array:
+    """[B, H, Tq, Tk] keep mask — the SAME per-element counter-hash the
+    Pallas kernel regenerates in-block (`_dropout_keep`), evaluated as
+    plain XLA ops: identical seed → bit-identical mask across the kernel
+    and the short-sequence XLA fallback (tested).
+
+    Why not `jax.random.bernoulli`: at the T=149 training shape the rbg
+    PRNG pass over [B, H, T, T] costs 0.391 ms per layer vs 0.108 ms for
+    this hash (isolated probe), and switching EVERY dropout site to the
+    hash takes the batch-66 BASE train step from 112.4 to 102.7 ms
+    (same-session A/B — most of the saving is compositional: the per-site
+    rbg key-derivation chains and their backward recomputation serialize
+    against the matmul stream; PERF.md round-4 dropout-sampler table).
+    Murmur3-finalizer avalanche makes it a valid Bernoulli(1-rate)
+    sampler, exact to 2^-32 in the rate.
+    """
+    shape = (b * h, tq, tk)
+    bh = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    qrow = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    kcol = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
+    x = (
+        seed.astype(jnp.uint32)
+        + bh * jnp.uint32(0x9E3779B1)
+        + qrow * jnp.uint32(0x85EBCA77)
+        + kcol * jnp.uint32(0xC2B2AE3D)
+    )
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    keep = x >= jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
+    return keep.reshape(b, h, tq, tk)
+
+
+def dropout_seed_from_rng(rng: jax.Array) -> jax.Array:
+    """[1] int32 dropout seed from a PRNG key (shared by kernel + fallback
+    so both paths draw the same mask for the same key)."""
+    return jax.random.randint(
+        rng, (1,), minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32
+    )
 
 
 def _pow2_floor(x: int) -> int:
@@ -772,31 +823,38 @@ def flash_attention(
     if key_mask is None and bias is not None:
         key_mask = bias[:, 0, 0, :] >= -1e30
 
+    seed = (
+        dropout_seed_from_rng(rng) if dropout_rate > 0.0 else None
+    )
     on_tpu = jax.devices()[0].platform == "tpu"
     if not on_tpu or not _kernel_profitable(q.shape[1]):
         # short sequences (3 s training crops, short eval buckets) and
         # badly block-aligned lengths: XLA's one-shot attention wins
         if dropout_rate > 0.0:
             return _xla_dropout_attention(
-                q, k, v, key_mask, dropout_rate, rng
+                q, k, v, key_mask, dropout_rate, seed
             )
         return reference_attention(q, k, v, key_mask)
-    seed = None
-    if dropout_rate > 0.0:
-        seed = jax.random.randint(
-            rng, (1,), minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32
-        )
     return flash_attention_kernel(
         q, k, v, key_mask, dropout_rate=dropout_rate, dropout_seed=seed
     )
 
 
-def _xla_dropout_attention(q, k, v, key_mask, dropout_rate, rng):
+def _xla_dropout_attention(q, k, v, key_mask, dropout_rate, seed):
+    """XLA attention with counter-hash prob dropout (torch F.dropout
+    semantics: softmax first, then scaled Bernoulli mask). `seed` is the
+    [1] int32 from `dropout_seed_from_rng`; the mask is bit-identical to
+    the Pallas kernel's in-block dropout for the same seed."""
+    b, tq, h, _ = q.shape
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
     if key_mask is not None:
         logits = jnp.where(key_mask[:, None, None, :], logits, _NEG_INF)
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, probs.shape)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+        q.dtype
+    )
+    keep = attention_dropout_keep(
+        seed, b, h, tq, k.shape[1], dropout_rate
+    )
     probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)

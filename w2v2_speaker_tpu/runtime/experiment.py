@@ -354,6 +354,11 @@ def _w2v2_config(
             # train driver rejects it (no gradient path); predict.py and
             # the serving entry use it for ~2x dense throughput
             "int8_matmuls": net.get("int8_matmuls", False),
+            # counter-hash dropout masks (default): fused iota-hash keep
+            # masks instead of standalone rbg PRNG passes — −8.7% on the
+            # BASE train step (PERF.md round-4 dropout-sampler table);
+            # false restores jax.random.bernoulli streams
+            "hash_dropout": net.get("hash_dropout", True),
         }
     )
 
