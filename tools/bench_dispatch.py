@@ -11,6 +11,11 @@ requests, CLAUDE.md trap #2), replicating exactly what `_train_loop` does:
 shard_batch -> step -> float(metrics) per step vs
 stack -> shard_batch(stacked) -> chunk -> device_get once.
 
+Also measures a pipelined variant per K (defer the metrics read of chunk
+c until chunk c+1 is dispatched): measured round 4 as NO win on the
+tunnel transport (it serializes upload/dispatch regardless), kept for
+re-testing on PCIe-attached TPU-VM hosts where async dispatch overlaps.
+
   python tools/bench_dispatch.py                 # BASE, batch 66 x 3 s
   python tools/bench_dispatch.py --k 4 8 16 --repeats 3
 """
@@ -141,6 +146,34 @@ def main():
         print(f"steps_per_dispatch={k:3d}: {best:8.1f} ms/step "
               f"({base_ms / best:.2f}x vs per-step; runs: "
               f"{[f'{x:.1f}' for x in chunk_ms]})")
+
+    # pipelined chunked dispatch: defer the metrics read of chunk c until
+    # chunk c+1 is uploaded + dispatched (what _train_loop's
+    # dispatch_pipeline does) — measures whether jax async dispatch can
+    # overlap the next chunk's host->device bytes/dispatch round trip with
+    # the device executing the current chunk on this transport
+    for k in args.k:
+        fn = results[k]
+        n_chunks = max(2, args.repeats)
+        stacks = [
+            {
+                key: np.stack([host_batch()[key] for _ in range(k)])
+                for key in b0
+            }
+            for _ in range(n_chunks)
+        ]
+        t0 = time.perf_counter()
+        pending = None
+        for stacked in stacks:
+            state, m = fn(state, shard_batch(stacked, mesh, stacked=True))
+            if pending is not None:
+                jax.device_get(pending)
+            pending = m
+        jax.device_get(pending)
+        dt = (time.perf_counter() - t0) / (n_chunks * k) * 1e3
+        print(f"steps_per_dispatch={k:3d} + pipelined read: {dt:8.1f} "
+              f"ms/step ({base_ms / dt:.2f}x vs per-step, "
+              f"{n_chunks} chunks)")
 
 
 if __name__ == "__main__":
