@@ -320,3 +320,50 @@ def test_posconv_formulations_equivalent():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4
         )
+
+
+def test_remat_policies_match_no_remat_grads():
+    """trainer.remat with either policy ("nothing" full recompute, "dots"
+    save-matmul-outputs) must reproduce the no-remat gradients — remat
+    trades memory/FLOPs, never math (reference has no remat; this is the
+    TPU-side memory lever for LARGE batch-66, PERF.md)."""
+    import dataclasses
+
+    from w2v2_speaker_tpu.models.wav2vec2 import Wav2Vec2Model
+
+    wav = jnp.asarray(
+        np.random.default_rng(0).normal(0, 0.2, (2, N_SAMPLES))
+        .astype(np.float32)
+    )
+
+    def grads(remat, policy):
+        cfg = dataclasses.replace(
+            TINY_W2V2, remat=remat, remat_policy=policy
+        )
+        m = Wav2Vec2Model(cfg)
+        rngs = {
+            "params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "masking": jax.random.PRNGKey(2),
+            "layerdrop": jax.random.PRNGKey(3),
+        }
+        v = m.init(rngs, wav)
+
+        def loss(p):
+            out = m.apply(
+                {**v, "params": p}, wav, train=True,
+                rngs={k: rngs[k] for k in
+                      ("dropout", "masking", "layerdrop")},
+            )
+            h = out[0] if isinstance(out, tuple) else out
+            return h.astype(jnp.float32).sum()
+
+        return jax.grad(loss)(v["params"])
+
+    base = jax.tree.leaves(grads(False, "nothing"))
+    for policy in ("nothing", "dots", "dots_no_batch"):
+        got = jax.tree.leaves(grads(True, policy))
+        for a, b in zip(base, got):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=5e-5
+            )

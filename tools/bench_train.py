@@ -29,6 +29,25 @@ def main():
     ap.add_argument("--seconds", type=float, default=3.0)
     ap.add_argument("--iters", type=int, default=24)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument(
+        "--remat-policy", default="nothing",
+        choices=["nothing", "dots", "dots_no_batch"],
+        help="with --remat: 'dots' saves matmul outputs (recomputes only "
+        "elementwise), 'dots_no_batch' saves non-batched dots only "
+        "(recomputes attention einsums), 'nothing' recomputes the layer",
+    )
+    ap.add_argument(
+        "--remat-policies", default=None,
+        help="comma list from {off,nothing,dots,dots_no_batch}: time the "
+        "full train step once per policy back to back in ONE process "
+        "(the only comparable A/B on this transport, CLAUDE.md); 'off' "
+        "is remat disabled. Replaces the plain 'step' row. A policy "
+        "that OOMs prints FAIL instead of aborting the sweep.",
+    )
+    ap.add_argument(
+        "--mu-dtype", default=None, choices=[None, "bfloat16"],
+        help="adam first-moment dtype (optim.algo.mu_dtype knob A/B)",
+    )
     ap.add_argument("--layerdrop", type=float, default=0.05)
     ap.add_argument(
         "--only", nargs="*", default=None,
@@ -81,6 +100,7 @@ def main():
         dtype="bfloat16",
         layerdrop=args.layerdrop,
         remat=args.remat,
+        remat_policy=args.remat_policy,
         encoder_unroll=args.unroll,
         # acc=1 production setting: native grouped pos conv (grad-safe when
         # each program computes the gradient once)
@@ -118,7 +138,9 @@ def main():
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"{args.size}: {n_params/1e6:.1f}M params, batch {b} x {args.seconds}s")
 
-    tx = optax.adam(1e-4)
+    tx = optax.adam(
+        1e-4, mu_dtype=jnp.bfloat16 if args.mu_dtype == "bfloat16" else None
+    )
     state = TrainState.create(
         apply_fn=model.apply, params=params, tx=tx,
         rng=jax.random.PRNGKey(0),
@@ -164,9 +186,7 @@ def main():
     # full training step (state donated => rebuild per timing? instead keep
     # state captured and only thread features through the loop; optimizer
     # update included via explicit fold)
-    if "step" in want:
-        step_fn = make_train_step(task, mesh=None)
-
+    def time_step(step_fn, label):
         @jax.jit
         def full_step(m, st, feats, mask, labels):
             def body(i, carry):
@@ -181,8 +201,15 @@ def main():
             st, _, s = jax.lax.fori_loop(0, m, body, (st, feats, 0.0))
             return s
 
-        bt = fresh_batch()
-        float(full_step(1, state, bt["features"], bt["mask"], bt["labels"]))
+        try:
+            bt = fresh_batch()
+            float(full_step(
+                1, state, bt["features"], bt["mask"], bt["labels"]
+            ))
+        except Exception as e:  # OOM (RESOURCE_EXHAUSTED) etc.
+            msg = " ".join(str(e).split())[:600]
+            print(f"  {label:28s}      FAIL  {msg}")
+            return None
 
         def once(m):
             bt = fresh_batch()
@@ -194,8 +221,30 @@ def main():
         t1 = min(once(args.iters) for _ in range(3))
         t2 = min(once(2 * args.iters) for _ in range(3))
         ms = (t2 - t1) / args.iters * 1e3
-        print(f"  {'train step (fwd+bwd+adam)':28s} {ms:9.2f} ms"
-              f"  ({b / ms * 1e3:.0f} utt/s)")
+        print(f"  {label:28s} {ms:9.2f} ms  ({b / ms * 1e3:.0f} utt/s)")
+        return ms
+
+    if args.remat_policies:
+        # one-process remat-policy sweep: same params/state; only the model
+        # wrapper (nn.remat policy) changes per row
+        for policy in [p.strip() for p in args.remat_policies.split(",")]:
+            w2v2_p = dataclasses.replace(
+                w2v2,
+                remat=policy != "off",
+                remat_policy=policy if policy != "off" else "nothing",
+            )
+            model_p = Wav2Vec2SpeakerModel(
+                cfg=Wav2Vec2SpeakerConfig(
+                    w2v2=w2v2_p, stat_pooling_type="mean"
+                ),
+                num_speakers=5994,
+            )
+            task_p = SpeakerTask(model=model_p, mode="ce")
+            time_step(
+                make_train_step(task_p, mesh=None), f"step remat={policy}"
+            )
+    elif "step" in want:
+        time_step(make_train_step(task, mesh=None), "train step (fwd+bwd+adam)")
 
     rngs = {k: jax.random.PRNGKey(i) for i, k in enumerate(
         ("dropout", "pooling", "masking", "layerdrop"))}

@@ -79,6 +79,20 @@ class Wav2Vec2Config:
     # compute
     dtype: str = "float32"
     remat: bool = False  # rematerialize encoder layers (memory for FLOPs)
+    # Remat policy when remat=true. "nothing" recomputes the whole layer in
+    # the backward (minimum memory); "dots" saves every dot_general output
+    # (QKV/attention/FFN matmuls) and recomputes only the cheap elementwise
+    # chain; "dots_no_batch" saves only the non-batched dots (QKV/out-proj/
+    # FFN dense outputs) while recomputing the attention einsums — on TPU
+    # the [B, H, T, T] attention probs pad ~1.7x in HBM at T=149, so
+    # excluding them is most of "dots"'s memory for little recompute.
+    # Measured (PERF.md round-4 remat-policy table): at LARGE batch-48
+    # dots_no_batch is -8.6% step time vs "nothing"; at LARGE batch-66
+    # both dots policies exceed HBM with f32 adam moments, and with
+    # mu_dtype=bfloat16 dots_no_batch fits but runs +2.7% (memory-pressure
+    # scheduling) — so "nothing" (always fits) stays the default.
+    # Trajectory-identical in every mode (gradient-parity tested).
+    remat_policy: str = "nothing"  # "nothing" | "dots" | "dots_no_batch"
     # Positional-conv gradient formulation. XLA's SPMD partitioner computes
     # grouped-conv KERNEL gradients exactly x accumulation_count when the
     # same conv's grad is accumulated more than once per program over a
@@ -665,7 +679,15 @@ class ScanEncoderLayer(nn.Module):
     def __call__(self, x, attention_bias, train=False):
         layer_cls = EncoderLayer
         if self.cfg.remat:
-            layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
+            policy = {
+                "nothing": None,  # recompute everything
+                "dots": jax.checkpoint_policies.dots_saveable,
+                "dots_no_batch":
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            }[self.cfg.remat_policy]
+            layer_cls = nn.remat(
+                EncoderLayer, static_argnums=(3,), policy=policy
+            )
         y = layer_cls(self.cfg, name="block")(x, attention_bias, train)
         return y, (y if self.collect else None)
 

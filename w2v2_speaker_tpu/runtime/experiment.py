@@ -344,6 +344,10 @@ def _w2v2_config(
             "mask_time_prob": net["mask_time_prob"],
             "dtype": "bfloat16" if precision == "bf16" else "float32",
             "remat": remat,
+            # remat policy: "dots" saves matmul outputs and recomputes only
+            # the elementwise chain in the backward; "nothing" is
+            # minimum-memory full recompute (see the config field's note)
+            "remat_policy": net.get("remat_policy", "nothing"),
             "attention_impl": net.get("attention_impl", "xla"),
             # "fused_pallas" routes eligible feature-encoder layers through
             # ops/conv_encoder.py; "xla" is the measured optimum on v5e
@@ -663,19 +667,25 @@ def build_optimizer(cfg: Dict) -> optax.GradientTransformation:
     # inject_hyperparams passes hyperparameters by keyword: the factory's
     # parameter must be named `learning_rate`
     if algo["name"] == "adam":
+        # optim.algo.mu_dtype=bfloat16: store adam's first moment in bf16 —
+        # halves mu's HBM (1.29 GB -> 643 MB on LARGE's 321.6M params) and
+        # its read/write traffic in the update. Opt-in: the default keeps
+        # f32 moments (exact reference-trajectory numerics).
+        mu_dtype = algo.get("mu_dtype") or None
         if algo.get("weight_decay"):
 
             def make(learning_rate):
                 return optax.adamw(
                     learning_rate, b1=algo["b1"], b2=algo["b2"],
-                    weight_decay=algo["weight_decay"],
+                    weight_decay=algo["weight_decay"], mu_dtype=mu_dtype,
                 )
 
         else:
 
             def make(learning_rate):
                 return optax.adam(
-                    learning_rate, b1=algo["b1"], b2=algo["b2"]
+                    learning_rate, b1=algo["b1"], b2=algo["b2"],
+                    mu_dtype=mu_dtype,
                 )
 
     elif algo["name"] == "sgd":
