@@ -258,22 +258,26 @@ def test_adam_mu_dtype_bf16_moment_storage_and_trajectory():
 
         mu, nu = leaves("mu"), leaves("nu")
         assert mu and nu, "adam state not found in optimizer state tree"
+        # Normalize to np.dtype: on jax>=0.9 `jnp.float32` is a _ScalarMeta
+        # whose hash differs from np.dtype('float32'), so raw set equality
+        # against {jnp.float32} is always False even though == holds.
         return (
-            {leaf.dtype for leaf in mu},
-            {leaf.dtype for leaf in nu},
+            {np.dtype(leaf.dtype) for leaf in mu},
+            {np.dtype(leaf.dtype) for leaf in nu},
         )
 
+    f32, bf16 = np.dtype(jnp.float32), np.dtype(jnp.bfloat16)
     tx_f32 = build()
     tx_bf16 = build("optim.algo.mu_dtype=bfloat16")
 
-    assert moment_dtypes(tx_f32) == ({jnp.float32}, {jnp.float32})
-    assert moment_dtypes(tx_bf16) == ({jnp.bfloat16}, {jnp.float32})
+    assert moment_dtypes(tx_f32) == ({f32}, {f32})
+    assert moment_dtypes(tx_bf16) == ({bf16}, {f32})
 
     # adamw branch honors the knob too
     tx_wd = build(
         "optim.algo.weight_decay=0.01", "optim.algo.mu_dtype=bfloat16"
     )
-    assert moment_dtypes(tx_wd) == ({jnp.bfloat16}, {jnp.float32})
+    assert moment_dtypes(tx_wd) == ({bf16}, {f32})
 
     # trajectory: 10 updates on a deterministic gradient stream stay close
     # to the f32-moment trajectory (bf16 mu quantization only)
