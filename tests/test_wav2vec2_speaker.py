@@ -367,3 +367,21 @@ def test_remat_policies_match_no_remat_grads():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=5e-5
             )
+
+
+def test_config_rejects_bad_enum_knobs():
+    """Typo'd enum-like knobs (e.g. network.remat_policy=dots_nobatch on
+    the CLI) must fail at config construction with the allowed set, not as
+    a bare KeyError deep inside model building."""
+    import dataclasses
+
+    import pytest
+
+    for field, bad in [
+        ("remat_policy", "dots_nobatch"),
+        ("attention_impl", "fast"),
+        ("conv_impl", "pallas"),
+        ("feat_extract_norm", "batch"),
+    ]:
+        with pytest.raises(ValueError, match=field):
+            dataclasses.replace(TINY_W2V2, **{field: bad})

@@ -153,6 +153,24 @@ class Wav2Vec2Config:
     # "dropout sampler" table.
     hash_dropout: bool = True
 
+    def __post_init__(self):
+        # Validate enum-like knobs up front so a typo'd CLI override (e.g.
+        # network.remat_policy=dots_nobatch) fails with the allowed set
+        # instead of a bare KeyError deep inside model construction.
+        allowed = {
+            "remat_policy": ("nothing", "dots", "dots_no_batch"),
+            "attention_impl": ("flash", "xla"),
+            "conv_impl": ("xla", "fused_pallas"),
+            "feat_extract_norm": ("group", "layer"),
+        }
+        for field_name, options in allowed.items():
+            value = getattr(self, field_name)
+            if value not in options:
+                raise ValueError(
+                    f"Wav2Vec2Config.{field_name}={value!r} is not one of "
+                    f"{options}"
+                )
+
 
 BASE_CONFIG = Wav2Vec2Config()
 LARGE_CONFIG = Wav2Vec2Config(

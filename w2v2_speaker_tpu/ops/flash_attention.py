@@ -145,7 +145,17 @@ def attention_dropout_keep(
 
 def dropout_seed_from_rng(rng: jax.Array) -> jax.Array:
     """[1] int32 dropout seed from a PRNG key (shared by kernel + fallback
-    so both paths draw the same mask for the same key)."""
+    so both paths draw the same mask for the same key).
+
+    Deliberately collapses the 128-bit key to a 32-bit seed: each dropout
+    site's mask is still an exact Bernoulli(rate) draw, but across a
+    100k-step run each site expects a couple of birthday-bound exact mask
+    repeats, and two sites within a step can collide with ~2^-33
+    probability per pair. Both are statistically negligible for training
+    (a repeated mask is just another valid sample) — but this is a
+    deviation from full-entropy jax.random streams; widen the hash input
+    with a second key word if full stream independence is ever required.
+    """
     return jax.random.randint(
         rng, (1,), minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32
     )
