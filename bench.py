@@ -23,6 +23,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from w2v2_speaker_tpu.runtime.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    # warm executables across invocations (cuts the pre-measurement
+    # compile wait; the timed section is compile-free either way)
+    enable_compilation_cache()
+
     from __graft_entry__ import entry
 
     forward, example_args = entry()

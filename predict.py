@@ -27,6 +27,11 @@ def main(argv=None):
             CONFIG_DIR, overrides[1:], entry="predict", script_path=__file__
         )
         return None
+    from w2v2_speaker_tpu.runtime.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     cfg = load_config(CONFIG_DIR, "predict", overrides)
     return run_predictions(cfg)
 

@@ -155,8 +155,16 @@ def main(argv=None) -> float:
             overrides.remove(flag)
             multirun = True
 
+    from w2v2_speaker_tpu.runtime.compile_cache import (
+        enable_compilation_cache,
+    )
     from w2v2_speaker_tpu.runtime.config import load_config
     from w2v2_speaker_tpu.runtime.experiment import run_train_eval
+
+    # Persist compiled executables across invocations (the reference pays
+    # no compile tax — eager torch; without this every run pays minutes of
+    # remote XLA compiles before step 1). W2V2_COMPILE_CACHE=0 opts out.
+    enable_compilation_cache()
 
     launcher, overrides = _pop_launcher(overrides)
     if launcher is not None:
