@@ -638,3 +638,29 @@ def test_xvector_augment_study_composes_and_trains(corpus, tmp_path):
         )
     )
     assert 0.0 <= objective <= 1.0
+
+
+def test_large_experiment_preset_composes():
+    """speaker_wav2vec2_large_aam encodes the measured LARGE optimum
+    (PERF.md round-4 remat-policy table: batch 48 + dots_no_batch =
+    217 utt/s > the batch-66 layout's 190) as a reproducible preset."""
+    cfg = load_config(
+        CONFIG_DIR, "train_eval", ["+experiment=speaker_wav2vec2_large_aam"]
+    )
+    assert cfg["network"]["wav2vec2_size"] == "large"
+    assert cfg["network"]["remat_policy"] == "dots_no_batch"
+    assert cfg["trainer"]["remat"] is True
+    assert cfg["trainer"]["precision"] == "bf16"
+    assert cfg["data"]["dataloader"]["batch_size"] == 48
+    assert cfg["optim"]["loss"]["name"] == "aam_softmax"
+    assert cfg["optim"]["algo"]["lr"] == pytest.approx(5e-5)
+
+    # the policy actually reaches the backbone config through the builder
+    from w2v2_speaker_tpu.runtime.experiment import build_model_and_task
+
+    task, kind = build_model_and_task(cfg, num_speakers=10)
+    assert kind == "speaker"
+    w2v2 = task.model.cfg.w2v2
+    assert w2v2.remat_policy == "dots_no_batch"
+    assert w2v2.remat is True
+    assert w2v2.num_layers == 24 and w2v2.hidden_size == 1024
