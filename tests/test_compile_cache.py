@@ -78,3 +78,12 @@ def test_entry_points_wire_the_cache():
     for script in ("run.py", "predict.py", "bench.py"):
         text = (root / script).read_text()
         assert "enable_compilation_cache" in text, script
+
+
+def test_default_on_skipped_on_cpu_backend(restore_cache_config):
+    """Default-on applies off-CPU only (CPU compiles are cheap; XLA:CPU
+    AOT reload warns about machine-feature mismatches). Explicit dirs
+    still opt CPU in — the tests above rely on that."""
+    os.environ.pop("W2V2_COMPILE_CACHE", None)
+    assert jax.default_backend() == "cpu"
+    assert enable_compilation_cache() is None

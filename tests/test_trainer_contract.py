@@ -286,3 +286,147 @@ def test_default_trainer_exposes_reference_knobs():
     assert t["num_sanity_val_steps"] == 2
     assert t["limit_test_batches"] is None
     assert t["min_steps"] is None
+
+
+def _mini_loop_fixture(tmp_path, trainer_extra, val_metric=0.5,
+                       epoch_len=None, callbacks=None):
+    """Shared harness: DummyModel + _train_loop with a configurable
+    per-epoch batch count and a constant validation metric. Returns
+    (final_state, stdout-capture-free validate-call log)."""
+    import jax
+    import optax
+
+    from w2v2_speaker_tpu.models.dummy import DummyModel
+    from w2v2_speaker_tpu.parallel.mesh import create_mesh
+    from w2v2_speaker_tpu.runtime.experiment import _train_loop
+    from w2v2_speaker_tpu.train.speaker_task import SpeakerTask
+    from w2v2_speaker_tpu.train.state import TrainState
+
+    model = DummyModel(num_speakers=4)
+    rng = np.random.default_rng(0)
+
+    def mk_batch(n=4):
+        return {
+            "features": rng.normal(size=(n, 400)).astype(np.float32),
+            "mask": np.ones((n, 400), bool),
+            "labels": np.arange(n) % 4,
+        }
+
+    params = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((4, 400), np.float32),
+        np.ones((4, 400), bool),
+    )["params"]
+    import jax as _jax
+    task = SpeakerTask(model=model, mode="ce")
+    state = TrainState.create(
+        apply_fn=model.apply, params=params, tx=optax.sgd(1e-3),
+        rng=_jax.random.PRNGKey(1),
+    )
+    cfg = {
+        "seed": 0,
+        "optim": {"algo": {"lr": 1e-3}, "schedule": {"name": "constant"}},
+        "trainer": {
+            "max_steps": 100,
+            "val_check_interval": 2,
+            "accumulate_grad_batches": 1,
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "log_every": 1,
+            **trainer_extra,
+        },
+    }
+    if callbacks:
+        cfg["callbacks"] = callbacks
+
+    class NullLogger:
+        def log_step(self, *a, **k):
+            pass
+
+        log_eval = log_step
+
+    def train_iter(_epoch):
+        n = 0
+        while epoch_len is None or n < epoch_len:
+            yield mk_batch()
+            n += 1
+
+    validations = []
+
+    def validate(s, max_batches=None):
+        validations.append(int(s.step))
+        return {"val_eer": val_metric}
+
+    mesh = create_mesh(jax.devices()[:1])
+    state, _ = _train_loop(
+        cfg, task, state, mesh, NullLogger(), train_iter, validate
+    )
+    return state, validations
+
+
+def test_max_epochs_caps_run(tmp_path):
+    """trainer.max_epochs ends training after N exhaustions of the train
+    iterator even though max_steps is far away (reference trainer.yaml:
+    17-18, PL Trainer(max_epochs=...)); the capped final weights are still
+    validated/checkpointed like a PL epoch end."""
+    state, validations = _mini_loop_fixture(
+        tmp_path,
+        {"max_epochs": 2, "max_steps": 100, "val_check_interval": 100},
+        epoch_len=3,
+    )
+    assert int(state.step) == 6  # 2 epochs x 3 batches
+    # the epoch cap landed between step-interval validations: exactly one
+    # final-weights validation ran, at the capped step
+    assert validations == [6]
+
+
+def test_min_epochs_suppresses_early_stop(tmp_path, capsys):
+    """Early stopping on a flat metric is suppressed until min_epochs
+    complete epochs have run (reference trainer.yaml:14-16)."""
+    state, validations = _mini_loop_fixture(
+        tmp_path,
+        {"min_epochs": 3, "max_steps": 100},
+        epoch_len=2,
+        callbacks={
+            "early_stopping": {
+                "monitor": "val_eer", "patience": 1, "min_delta": 0.0,
+            }
+        },
+    )
+    out = capsys.readouterr().out
+    # patience 1 on a flat metric trips at the 2nd validation (step 4,
+    # epoch 1) and again at step 6 (epoch 2) - both under the epoch floor;
+    # step 8 runs in epoch 3 and stops for real
+    assert "suppressed: min_epochs=3" in out
+    assert "early stopping at step 8" in out
+    assert int(state.step) == 8
+
+
+def test_deterministic_knob_validated_noop(corpus, tmp_path, capsys):
+    """trainer.deterministic=true is accepted and documented as a no-op
+    (XLA is deterministic by default); a non-bool value fails loudly
+    (reference trainer.yaml:36-37)."""
+    import run as run_cli
+
+    run_cli.main(
+        _overrides(corpus, tmp_path, ["trainer.deterministic=true",
+                                      "eval_model=false"])
+    )
+    out = capsys.readouterr().out
+    assert "deterministic=true: no-op on XLA backends" in out
+
+    with pytest.raises(ValueError, match="deterministic"):
+        run_cli.main(
+            _overrides(corpus, tmp_path / "b",
+                       ["trainer.deterministic=sometimes",
+                        "eval_model=false"])
+        )
+
+
+def test_default_trainer_exposes_epoch_knobs():
+    from w2v2_speaker_tpu.runtime.config import load_config
+
+    cfg = load_config(REPO / "config", "train_eval", [])
+    t = cfg["trainer"]
+    assert t["max_epochs"] is None
+    assert t["min_epochs"] is None
+    assert t["deterministic"] is False

@@ -45,9 +45,20 @@ def enable_compilation_cache(cache_dir: str | os.PathLike | None = None):
     env = os.environ.get(_ENV_KNOB, "").strip()
     if env.lower() in _DISABLED:
         return None
+    explicit = cache_dir is not None or (
+        env and env.lower() not in {"1", "true", "on"}
+    )
     if cache_dir is None:
-        cache_dir = env if env and env.lower() not in {"1", "true", "on"} \
-            else default_cache_dir()
+        cache_dir = env if explicit else default_cache_dir()
+
+    import jax
+
+    if not explicit and jax.default_backend() == "cpu":
+        # default-on only off-CPU: CPU compiles are cheap, and XLA:CPU AOT
+        # reload logs machine-feature-mismatch errors (with a SIGILL risk
+        # when the cache dir is shared across hosts). An explicit dir (arg
+        # or env) still opts CPU in — the tests use that.
+        return None
     cache_dir = pathlib.Path(cache_dir)
     cache_dir.mkdir(parents=True, exist_ok=True)
 

@@ -827,6 +827,25 @@ def run_train_eval(cfg: Dict) -> Optional[float]:
     _validate_int8_config(cfg)
     _apply_fast_dev_run(cfg)
 
+    # trainer.deterministic (reference trainer.yaml:36-37, PL
+    # Trainer(deterministic=True) — which buys cudnn/cuda determinism at a
+    # noted ~20x slowdown). Validated no-op here: XLA:TPU (and XLA:CPU)
+    # compile deterministic programs by default — same program + same
+    # inputs + same seeds reproduce bitwise, with no speed trade to make
+    # (tests/test_determinism.py pins this). The knob is accepted for
+    # recipe compatibility and rejected when it isn't a bool, so a typo'd
+    # override fails loudly instead of silently "enabling" nothing.
+    det = cfg["trainer"].get("deterministic", False)
+    if not isinstance(det, bool):
+        raise ValueError(
+            f"trainer.deterministic must be a bool, got {det!r}"
+        )
+    if det:
+        print(
+            "trainer.deterministic=true: no-op on XLA backends — "
+            "execution is already deterministic for fixed seeds"
+        )
+
     # TPU-optimized PRNG for dropout/layerdrop mask generation: threefry is
     # VPU-expensive; rbg measured 13% faster end-to-end train steps on v5e.
     # Applied only on TPU so CPU test behavior is untouched. (A checkpoint's
@@ -1051,6 +1070,13 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
     limit_train = trainer.get("limit_train_batches")
     acc = trainer.get("accumulate_grad_batches", 1)
     min_steps = int(trainer.get("min_steps") or 0)
+    # trainer.{min,max}_epochs (reference trainer.yaml:14-18, PL
+    # Trainer(min_epochs=..., max_epochs=...)): the epoch-denominated twins
+    # of min_steps/max_steps. An "epoch" is one exhaustion of the train
+    # iterator (or one limit_train_batches window when that cap is set).
+    max_epochs = trainer.get("max_epochs")
+    max_epochs = float("inf") if max_epochs is None else int(max_epochs)
+    min_epochs = int(trainer.get("min_epochs") or 0)
     fast_dev = bool(trainer.get("fast_dev_run"))
 
     # one pjit step builder for all five task families (speaker/paired/
@@ -1230,13 +1256,21 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
                 )
         if early_stop is not None:
             stop_reason = early_stop.update(val_metrics)
-            if stop_reason is not None and step < min_steps:
-                # trainer.min_steps (reference trainer.yaml:19-21, PL
-                # Trainer(min_steps=...)): early stopping may not end the
-                # run before min_steps optimizer steps have happened
+            if stop_reason is not None and (
+                step < min_steps or epoch < min_epochs
+            ):
+                # trainer.min_steps / min_epochs (reference
+                # trainer.yaml:14-16,19-21, PL Trainer(min_steps/
+                # min_epochs=...)): early stopping may not end the run
+                # before min_steps optimizer steps AND min_epochs complete
+                # epochs have happened
+                floor = (
+                    f"min_steps={min_steps}" if step < min_steps
+                    else f"min_epochs={min_epochs} (at epoch {epoch})"
+                )
                 print(
                     f"early-stop condition at step {step} suppressed: "
-                    f"min_steps={min_steps} not reached ({stop_reason})"
+                    f"{floor} not reached ({stop_reason})"
                 )
                 stop_reason = None
             elif stop_reason is not None:
@@ -1259,7 +1293,8 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
             step, {f"sanity_{k}": v for k, v in sanity_metrics.items()}
         )
 
-    while step < max_steps and stop_reason is None:
+    start_step = step
+    while step < max_steps and epoch < max_epochs and stop_reason is None:
         epoch_batches = 0
         buf = []
         raw_buf = []
@@ -1344,6 +1379,19 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
         if epoch_batches == 0:
             raise RuntimeError("train loader yielded no usable batches")
         epoch += 1
+    if (
+        epoch >= max_epochs
+        and step < max_steps
+        and stop_reason is None
+        and step > start_step
+        and validated_at != step
+        and not fast_dev
+    ):
+        # the epoch cap ended training between step-interval validations:
+        # score + checkpoint the final weights (PL validates at every epoch
+        # end, so a max_epochs-terminated reference run never leaves its
+        # last epoch unscored)
+        run_validation()
     if dropped_ragged:
         print(f"total ragged train batches dropped: {dropped_ragged}")
     # fast_dev_run saved no checkpoints: test on the current weights
