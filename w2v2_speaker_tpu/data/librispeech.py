@@ -26,7 +26,7 @@ import json
 import pathlib
 import tarfile
 from dataclasses import dataclass, field
-from typing import Dict, Iterable, Iterator, List, Optional
+from typing import Any, Dict, Iterable, Iterator, List, Optional
 
 import numpy as np
 
@@ -150,6 +150,12 @@ class LibriSpeechConfig:
     seed: int = 0
     host_id: int = 0
     num_hosts: int = 1
+    # runtime.debug.PipelineDebugCapture (or None): per-preprocessor debug
+    # artifacts for the first few pipeline samples — decoded waveform,
+    # transcription, token ids. Same hook the VoxCeleb pipeline exposes
+    # (datamodule.py process_one); the reference's input monitor is
+    # module-agnostic (input_monitor_callback.py:36-156).
+    debug_capture: Optional[Any] = None
 
 
 class LibriSpeechDataModule:
@@ -260,7 +266,7 @@ class LibriSpeechDataModule:
         """Every transcript character must be encodable without <unk>."""
         tok = self.tokenizer
         for split in self.cfg.split_dirs:
-            for s in self._samples(split):
+            for s in self._samples(split, capture=False):
                 ids = tok.encode(s.transcription)
                 if (ids == tok.vocab["<unk>"]).any():
                     raise ValueError(
@@ -270,7 +276,9 @@ class LibriSpeechDataModule:
 
     # ------------------------------------------------------------ loaders
 
-    def _samples(self, split: str, epoch: int = 0) -> Iterator[SpeechSample]:
+    def _samples(
+        self, split: str, epoch: int = 0, capture: bool = True
+    ) -> Iterator[SpeechSample]:
         cfg = self.cfg
         d = cfg.shards_dir / split
         reader = ShardReader(
@@ -284,13 +292,29 @@ class LibriSpeechDataModule:
         spk_map = (
             self.speaker_id_to_idx if cfg.with_speaker_labels else None
         )
+        # capture first-epoch train-pipeline stages only (the reference
+        # monitor dumps the first *training* batch; eval re-reads or later
+        # epochs would append duplicate stage artifacts for the same keys)
+        cap = (
+            cfg.debug_capture
+            if capture and split == self.TRAIN and epoch == 0
+            else None
+        )
         for s in reader:
             text = s.meta["transcription"]
+            tokens = tok.encode(text)
+            if cap is not None and cap.wants(s.key):
+                # per-preprocessor artifacts (reference input monitor's
+                # side_info chain, input_monitor_callback.py:93-156):
+                # decoded audio, transcript, token ids
+                cap.record(s.key, "original", s.wav)
+                cap.record_text(s.key, "transcription", text)
+                cap.record(s.key, "tokens", tokens, render_wav=False)
             yield SpeechSample(
                 key=s.key,
                 wav=s.wav.astype(np.float32),
                 transcription=text,
-                tokens=tok.encode(text),
+                tokens=tokens,
                 speaker_idx=(
                     spk_map.get(s.key.split("-")[0], -1)
                     if spk_map is not None

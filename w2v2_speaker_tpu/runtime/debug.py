@@ -91,6 +91,7 @@ class PipelineDebugCapture:
         self.max_samples = int(max_samples)
         self.sample_rate = int(sample_rate)
         self._stage_idx: Dict[str, int] = {}
+        self._done: set = set()
         self._lock = threading.Lock()
 
     def wants(self, key: str) -> bool:
@@ -99,19 +100,35 @@ class PipelineDebugCapture:
                 len(self._stage_idx) < self.max_samples
             )
 
-    def record(self, key: str, stage: str, wav) -> None:
+    def _next_stage(self, key: str, stage: str) -> Optional[int]:
         with self._lock:
+            if key in self._done:
+                return None
             if key not in self._stage_idx:
                 if len(self._stage_idx) >= self.max_samples:
-                    return
+                    return None
                 self._stage_idx[key] = 0
+            elif stage == "original" and self._stage_idx[key] > 0:
+                # a second pipeline pass over the same key (the example
+                # batch drawn for state init, a later epoch, an eval
+                # re-read): the first pass's stage chain is complete —
+                # don't append duplicate artifacts
+                self._done.add(key)
+                return None
             idx = self._stage_idx[key]
             self._stage_idx[key] += 1
+        return idx
+
+    def record(self, key: str, stage: str, wav, render_wav: bool = True
+               ) -> None:
+        idx = self._next_stage(key, stage)
+        if idx is None:
+            return
         arr = np.asarray(wav)
         d = self.out_dir / key.replace("/", "_")
         name = f"{idx:02d}_{stage}"
         debug_tensor_content(arr, name, d, print_stats=False)
-        if arr.ndim == 1 and arr.size:
+        if render_wav and arr.ndim == 1 and arr.size:
             # playable render beside the raw array (the reference's
             # torchaudio.save of original/stage tensors)
             from ..data.io import write_wav
@@ -122,6 +139,16 @@ class PipelineDebugCapture:
                 (arr / max(peak, 1.0)).astype(np.float32),
                 self.sample_rate,
             )
+
+    def record_text(self, key: str, stage: str, text: str) -> None:
+        """Non-tensor stage artifact (e.g. the speech pipeline's
+        transcription before tokenization)."""
+        idx = self._next_stage(key, stage)
+        if idx is None:
+            return
+        d = self.out_dir / key.replace("/", "_")
+        d.mkdir(parents=True, exist_ok=True)
+        (d / f"{idx:02d}_{stage}.txt").write_text(str(text) + "\n")
 
 
 def batch_gradient_verification(

@@ -882,15 +882,23 @@ def run_train_eval(cfg: Dict) -> Optional[float]:
     if cfg["trainer"].get("dump_first_batch") and hasattr(
         getattr(dm, "cfg", None), "debug_capture"
     ):
-        # per-preprocessor intermediates for the first few pipeline samples,
+        # per-preprocessor intermediates for the first few pipeline samples
+        # (both the VoxCeleb and LibriSpeech pipelines expose the hook),
         # beside the collated first-batch dump (reference input monitor's
-        # side_info debug writers, input_monitor_callback.py:93-156)
+        # side_info debug writers, input_monitor_callback.py:93-156).
+        # Depth and destination are configurable like the reference's
+        # callback config (config/callbacks/debugging.yaml).
         from .debug import PipelineDebugCapture
 
+        mon = (cfg.get("callbacks") or {}).get("input_monitor") or {}
         dm.cfg.debug_capture = PipelineDebugCapture(
-            pathlib.Path(cfg["trainer"]["checkpoint_dir"]).parent
-            / "first_batch"
-            / "per_sample"
+            pathlib.Path(
+                mon.get("out_dir")
+                or pathlib.Path(cfg["trainer"]["checkpoint_dir"]).parent
+                / "first_batch"
+                / "per_sample"
+            ),
+            max_samples=int(mon.get("max_samples") or 4),
         )
 
     task_kind_tokenizer = (
