@@ -148,3 +148,125 @@ def test_int8_guard_allows_eval_only_flow():
         _validate_int8_config(
             {"network": {"int8_matmuls": True}, "fit_model": True}
         )
+
+
+# ------------------------------------------------- int8_matmuls=auto path
+
+def test_int8_auto_policy():
+    """Encodes the measured matrix: LARGE always int8 (+23% at 3 s); BASE
+    only above the bucket-length threshold (+14% at 12 s, noise at 3 s)."""
+    from w2v2_speaker_tpu.ops.quant import int8_auto_policy
+
+    assert int8_auto_policy(3 * SR, hidden_size=1024)  # LARGE, short clip
+    assert not int8_auto_policy(3 * SR, 768, min_samples=6 * SR)
+    assert int8_auto_policy(12 * SR, 768, min_samples=6 * SR)
+    assert int8_auto_policy(6 * SR, 768, min_samples=6 * SR)  # inclusive
+
+
+def test_int8_config_auto_allowed_garbage_rejected():
+    """'auto' trains full precision so the train driver accepts it; the
+    model config itself is built with int8 OFF; unknown values error."""
+    import pytest
+
+    from w2v2_speaker_tpu.runtime.experiment import (
+        _validate_int8_config,
+        _w2v2_config,
+    )
+
+    _validate_int8_config(
+        {"network": {"int8_matmuls": "auto"}, "fit_model": True}
+    )
+    with pytest.raises(ValueError, match="true/false/auto"):
+        _validate_int8_config(
+            {"network": {"int8_matmuls": "yes"}, "fit_model": False}
+        )
+    net = {
+        "wav2vec2_size": "tiny",
+        "int8_matmuls": "auto",
+        "activation_dropout": 0.0,
+        "attention_dropout": 0.0,
+        "feat_proj_dropout": 0.0,
+        "hidden_dropout": 0.0,
+        "layerdrop": 0.0,
+        "mask_feature_length": 10,
+        "mask_feature_prob": 0.0,
+        "mask_time_length": 10,
+        "mask_time_prob": 0.0,
+    }
+    assert _w2v2_config(net, "f32", remat=False).int8_matmuls is False
+
+
+def test_bucket_dispatch_embed_routing():
+    """Per-bucket routing + call recording (network.int8_matmuls=auto)."""
+    from w2v2_speaker_tpu.runtime.predict import BucketDispatchEmbed
+
+    base = BucketDispatchEmbed(
+        lambda s, f, m=None: "bf16",
+        lambda s, f, m=None: "int8",
+        hidden_size=768,
+        min_samples=2 * SR,
+    )
+    short = np.zeros((2, SR), np.float32)
+    long = np.zeros((2, 3 * SR), np.float32)
+    assert base(None, short) == "bf16"
+    assert base(None, long) == "int8"
+    assert base.calls == [(SR, False), (3 * SR, True)]
+
+    large = BucketDispatchEmbed(
+        lambda s, f, m=None: "bf16",
+        lambda s, f, m=None: "int8",
+        hidden_size=1024,
+        min_samples=2 * SR,
+    )
+    assert large(None, short) == "int8"  # LARGE: every bucket
+
+
+def test_predict_cli_int8_auto(tmp_path, capsys):
+    """End-to-end predict with int8_matmuls=auto over a mixed-duration
+    corpus: short buckets serve bf16, long buckets int8, scores valid."""
+    import predict as predict_cli
+
+    from w2v2_speaker_tpu.data.io import write_wav
+
+    rng = np.random.default_rng(7)
+    wav_dir = tmp_path / "wav"
+    names = []
+    # extraction pads the batch up to the mesh's data axis (8 on the test
+    # mesh), so fill one full short bucket and one full long bucket
+    for spk, dur_s in [(0, 1.0)] * 4 + [(1, 1.0)] * 4 + [(2, 2.5)] * 4 + [
+        (3, 2.5)
+    ] * 4:
+        name = f"id{spk:05d}/yt0/{len(names):05d}.wav"
+        p = wav_dir / name
+        p.parent.mkdir(parents=True, exist_ok=True)
+        wav = 0.1 * rng.normal(size=int(SR * dur_s)).astype(np.float32)
+        write_wav(p, wav, SR)
+        names.append(name)
+    pair_file = tmp_path / "pairs.txt"
+    pair_file.write_text(
+        "".join(f"{names[i]} {names[i + 1]}\n" for i in range(0, 16, 2))
+        + f"{names[0]} {names[8]}\n"
+    )
+    score_file = predict_cli.main(
+        [
+            "network=wav2vec2_fc",
+            "network.wav2vec2_size=tiny",
+            "network.layerdrop=0.0",
+            "network.int8_matmuls=auto",
+            f"network.int8_auto_min_samples={2 * SR}",
+            "network.explicit_num_speakers=4",
+            f"predict_folder_path={wav_dir}",
+            f"pair_prediction_path={pair_file}",
+            "data.dataloader.test_batch_size=2",
+            "data.dataloader.test_pad_to_multiple=8000",
+        ]
+    )
+    out = capsys.readouterr().out
+    # both branches must have served: 1.0 s bucket (16000 < 32000) on
+    # bf16, 2.5 s bucket (40000 >= 32000) on int8
+    assert "int8 auto dispatch: 1/2 bucket batches on int8" in out
+    lines = score_file.read_text().splitlines()
+    assert len(lines) == 9
+    for line in lines:
+        score, f1, f2 = line.split(" ")
+        assert 0.0 <= float(score) <= 1.0

@@ -37,6 +37,14 @@ def main():
         "each size in ONE session (cross-session readings differ ±2%% on "
         "this host — A/Bs are only valid back-to-back in one process)",
     )
+    ap.add_argument(
+        "--sweep-seconds",
+        type=str,
+        default=None,
+        help="comma-separated clip durations at --batch; locates the BASE "
+        "bf16/int8 crossover that ops/quant.py::int8_auto_policy encodes "
+        "(network.int8_matmuls=auto bucket dispatch)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -57,7 +65,7 @@ def main():
     n = int(16000 * args.seconds)
     size = LARGE_CONFIG if args.large else BASE_CONFIG
 
-    def build(int8, batch):
+    def build(int8, batch, n):
         cfg = Wav2Vec2SpeakerConfig(
             w2v2=Wav2Vec2Config(
                 **{
@@ -93,15 +101,15 @@ def main():
 
         return run, variables
 
-    def fresh(batch):
+    def fresh(batch, n):
         return jnp.asarray(rng.normal(size=(batch, n)).astype(np.float32))
 
-    def measure(label, int8, batch):
-        run, variables = build(int8, batch)
-        float(run(1, v=variables, w=fresh(batch)))  # compile
+    def measure(label, int8, batch, n, seconds):
+        run, variables = build(int8, batch, n)
+        float(run(1, v=variables, w=fresh(batch, n)))  # compile
 
         def timed(m):
-            w = fresh(batch)
+            w = fresh(batch, n)
             t0 = time.perf_counter()
             float(run(m, v=variables, w=w))
             return time.perf_counter() - t0
@@ -112,18 +120,31 @@ def main():
         print(
             f"{label}: {dt * 1e3:.2f} ms/batch-{batch} "
             f"({batch / dt:.0f} utt/s, "
-            f"{batch / dt * args.seconds:.0f}x real-time)"
+            f"{batch / dt * seconds:.0f}x real-time)"
         )
+        return dt
 
     if args.sweep_batches:
         # full bf16 x int8 matrix in ONE session so every pair of rows is a
         # valid back-to-back A/B (cross-session readings differ ±2%)
         for b in (int(s) for s in args.sweep_batches.split(",")):
             for label, int8 in (("bf16", False), ("int8", True)):
-                measure(f"{label} B={b}", int8, b)
+                measure(f"{label} B={b}", int8, b, n, args.seconds)
+    elif args.sweep_seconds:
+        for sec in (float(s) for s in args.sweep_seconds.split(",")):
+            ns = int(16000 * sec)
+            pair = {}
+            for label, int8 in (("bf16", False), ("int8", True)):
+                pair[label] = measure(
+                    f"{label} {sec:g}s", int8, args.batch, ns, sec
+                )
+            print(
+                f"  -> int8 vs bf16 at {sec:g}s: "
+                f"{(pair['bf16'] / pair['int8'] - 1) * 100:+.1f}%"
+            )
     else:
         for label, int8 in (("bf16", False), ("int8", True)):
-            measure(label, int8, args.batch)
+            measure(label, int8, args.batch, n, args.seconds)
 
 
 if __name__ == "__main__":

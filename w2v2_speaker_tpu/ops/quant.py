@@ -33,7 +33,38 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-__all__ = ["int8_matmul", "QuantDense"]
+__all__ = [
+    "int8_matmul",
+    "QuantDense",
+    "int8_auto_policy",
+    "INT8_AUTO_MIN_SAMPLES",
+]
+
+# Measured BASE crossover for `network.int8_matmuls=auto` (PERF.md int8
+# matrix, real v5e): at 3 s clips the unquantized conv encoder plus the
+# dynamic-quantize passes absorb the MXU saving (−1.2…+3.7 %, inside
+# noise); at 12 s the dense stack dominates and int8 wins +14 %. The
+# crossover sweep (tools/bench_int8.py --sweep-seconds) puts the
+# break-even in the 4–6 s band; 6 s is the conservative default.
+INT8_AUTO_MIN_SAMPLES = 6 * 16000
+
+
+def int8_auto_policy(
+    padded_samples: int,
+    hidden_size: int,
+    min_samples: int = INT8_AUTO_MIN_SAMPLES,
+) -> bool:
+    """Per-bucket bf16-vs-int8 dispatch rule for the serving path.
+
+    Encodes the measured int8 matrix (PERF.md round 3/4, real v5e):
+    LARGE (hidden_size >= 1024) is matmul-bound at every clip length
+    (+23 % at 3 s) so int8 always wins; BASE only wins once the padded
+    clip is long enough that the transformer dense stack dominates the
+    (unquantized) conv encoder — +14 % at 12 s, noise at 3 s.
+    """
+    if hidden_size >= 1024:
+        return True
+    return padded_samples >= min_samples
 
 
 def _rowwise_quantize(x: jax.Array):

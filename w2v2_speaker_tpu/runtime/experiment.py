@@ -356,8 +356,11 @@ def _w2v2_config(
             "encoder_unroll": net.get("encoder_unroll", 1),
             # inference-only int8 MXU matmuls (ops/quant.py) — the
             # train driver rejects it (no gradient path); predict.py and
-            # the serving entry use it for ~2x dense throughput
-            "int8_matmuls": net.get("int8_matmuls", False),
+            # the serving entry use it for ~2x dense throughput.
+            # "auto" is a serving-dispatch policy (predict.py picks
+            # bf16-vs-int8 per duration bucket); the model built here is
+            # full precision — only a literal true flips the matmuls
+            "int8_matmuls": net.get("int8_matmuls", False) is True,
             # counter-hash dropout masks (default): fused iota-hash keep
             # masks instead of standalone rbg PRNG passes — −8.7% on the
             # BASE train step (PERF.md round-4 dropout-sampler table);
@@ -784,11 +787,18 @@ def _validate_int8_config(cfg: Dict) -> None:
     training would silently never update the dense layers. Inference-only
     flows are fine: predict.py, and the eval-only driver path
     (fit_model=false + warm start)."""
-    if cfg["network"].get("int8_matmuls") and cfg.get("fit_model", True):
+    val = cfg["network"].get("int8_matmuls", False)
+    if val not in (True, False, None, "auto"):
+        raise ValueError(
+            f"network.int8_matmuls must be true/false/auto, got {val!r}"
+        )
+    if val is True and cfg.get("fit_model", True):
         raise ValueError(
             "network.int8_matmuls is inference-only; training recipes "
             "must keep bf16/f32 matmuls (use fit_model=false for an "
-            "int8 eval-only run, or predict.py for extraction)"
+            "int8 eval-only run, or predict.py for extraction; "
+            "int8_matmuls=auto trains full-precision and only predict.py "
+            "dispatches int8 per bucket)"
         )
 
 

@@ -26,6 +26,7 @@ from ..data.io import load_raw_audio
 from ..data.normalize import normalize_waveform
 from ..data.samples import SpeakerSample
 from ..eval.evaluator import ASNormCosineEvaluator, EmbeddingSample
+from ..ops.quant import INT8_AUTO_MIN_SAMPLES, int8_auto_policy
 from ..train.steps import make_embed_fn
 from ..parallel.mesh import create_mesh
 from .experiment import (
@@ -35,7 +36,39 @@ from .experiment import (
     _init_state,
 )
 
-__all__ = ["run_predictions", "read_pair_file"]
+__all__ = ["run_predictions", "read_pair_file", "BucketDispatchEmbed"]
+
+
+class BucketDispatchEmbed:
+    """Per-bucket bf16/int8 embed dispatch (`network.int8_matmuls=auto`).
+
+    Extraction is bucketed by padded length (extract_embeddings sorts by
+    duration and pads to `test_pad_to_multiple`), so each bucket compiles
+    its own program anyway; this wrapper routes each bucket to whichever
+    arithmetic the measured int8 matrix says is faster for that shape
+    (ops/quant.py::int8_auto_policy) instead of one global flag. Both
+    branches read the SAME TrainState — QuantDense keeps nn.Dense's exact
+    parameter layout, so one set of served weights feeds both programs.
+    `calls` records (padded_samples, used_int8) per dispatched bucket
+    batch for tests and debugging.
+    """
+
+    def __init__(self, embed_bf16, embed_int8, hidden_size: int,
+                 min_samples: int = INT8_AUTO_MIN_SAMPLES):
+        self._bf16 = embed_bf16
+        self._int8 = embed_int8
+        self.hidden_size = hidden_size
+        self.min_samples = min_samples
+        self.calls: List[Tuple[int, bool]] = []
+
+    def __call__(self, state, features, mask=None):
+        use_int8 = int8_auto_policy(
+            int(features.shape[-1]), self.hidden_size, self.min_samples
+        )
+        self.calls.append((int(features.shape[-1]), use_int8))
+        return (self._int8 if use_int8 else self._bf16)(
+            state, features, mask
+        )
 
 
 def read_pair_file(path: pathlib.Path) -> List[Tuple[str, str]]:
@@ -68,6 +101,29 @@ def run_predictions(cfg: Dict) -> pathlib.Path:
     state = _init_state(cfg, task, _example_batch())
     mesh = create_mesh()
     embed = make_embed_fn(task, mesh)
+    if cfg["network"].get("int8_matmuls") == "auto":
+        if not hasattr(getattr(task.model, "cfg", None), "w2v2"):
+            raise ValueError(
+                "network.int8_matmuls=auto is only supported for "
+                "wav2vec2-family networks"
+            )
+        import copy
+
+        cfg_int8 = copy.deepcopy(cfg)
+        cfg_int8["network"]["int8_matmuls"] = True
+        task_int8, _ = build_model_and_task(
+            cfg_int8, cfg["network"].get("explicit_num_speakers") or 2
+        )
+        embed = BucketDispatchEmbed(
+            embed,
+            make_embed_fn(task_int8, mesh),
+            hidden_size=task.model.cfg.w2v2.hidden_size,
+            min_samples=int(
+                cfg["network"].get(
+                    "int8_auto_min_samples", INT8_AUTO_MIN_SAMPLES
+                )
+            ),
+        )
 
     # load audio (cached embeddings are reused)
     emb_dir = folder / "embeddings"
@@ -99,6 +155,12 @@ def run_predictions(cfg: Dict) -> pathlib.Path:
             out.parent.mkdir(exist_ok=True, parents=True)
             np.save(out, s.embedding)
             cached[s.sample_id] = np.asarray(s.embedding)
+        if isinstance(embed, BucketDispatchEmbed):
+            n8 = sum(1 for _, u in embed.calls if u)
+            print(
+                f"int8 auto dispatch: {n8}/{len(embed.calls)} bucket "
+                f"batches on int8 (threshold {embed.min_samples} samples)"
+            )
 
     embedding_pairs = [
         (
