@@ -131,3 +131,63 @@ def test_batch_gradient_verification():
 
     with pytest.raises(AssertionError, match="leakage"):
         batch_gradient_verification(leaky, batch["features"], batch["mask"])
+
+
+def test_parity_train_report_bands(tmp_path, capsys):
+    """tools/parity_train.py --report: smoothed-loss gap, final-loss delta
+    and dEER per arm vs the ref arm (host-side math only)."""
+    import json
+
+    from parity_train import report
+
+    rng = np.random.default_rng(0)
+    base = 3.0 - 0.01 * np.arange(100)
+
+    def dump(arm, seed, eer, jitter):
+        p = tmp_path / f"{arm}.json"
+        p.write_text(
+            json.dumps(
+                {
+                    "arm": arm,
+                    "platform": "cpu",
+                    "dtype": "float32",
+                    "hash_dropout": False,
+                    "train_seed": seed,
+                    "params_checksum": "aaaa",
+                    "losses": (base + jitter * rng.normal(size=100)).tolist(),
+                    "final_eer": eer,
+                }
+            )
+        )
+        return str(p)
+
+    paths = [
+        dump("ref", 0, 0.10, 0.01),
+        dump("ref_seed", 1, 0.11, 0.01),
+        dump("prod", 0, 0.10, 0.012),
+    ]
+    report(paths)
+    out = capsys.readouterr().out
+    assert "identical init: True" in out
+    assert "max smoothed-loss gap" in out
+    payload = json.loads(out[out.index("{") : out.rindex("}") + 1])
+    arms = {r["arm"]: r for r in payload["rows"]}
+    assert set(arms) == {"ref_seed", "prod"}
+    # tiny jitter around the same trend: gaps are small, dEER as dumped
+    assert arms["prod"]["max_smoothed_loss_gap"] < 0.05
+    assert abs(arms["ref_seed"]["delta_eer"] - 0.01) < 1e-9
+
+
+def test_bench_int8_mix_bucketing():
+    """bucket_histogram mirrors extract_embeddings' sort->batch->pad."""
+    from bench_int8_mix import bucket_histogram, sample_mix
+
+    SR = 16000
+    durations = np.array([4.0, 4.1, 8.0, 8.2, 12.0, 19.9])
+    hist = bucket_histogram(durations, batch=2, pad_multiple=16000)
+    # sorted pairs: (4.0,4.1)->pad ceil(65600/16000)=5s, (8.0,8.2)->9s,
+    # (12.0,19.9)->20s
+    assert hist == {5 * SR: 1, 9 * SR: 1, 20 * SR: 1}
+    mix = sample_mix(256)
+    assert 4.0 <= mix.min() and mix.max() <= 20.0
+    assert 7.0 < mix.mean() < 10.0  # VoxCeleb1-O-like mean ~8.2 s
