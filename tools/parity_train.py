@@ -279,7 +279,12 @@ def report(paths):
     runs = {r["arm"]: r for r in (json.loads(pathlib.Path(p).read_text()) for p in paths)}
     ref = runs["ref"]
     checks = {r["params_checksum"] for r in runs.values()}
-    print(f"params checksums: {sorted(checks)} (identical init: {len(checks) == 1})")
+    # CPU arms share one checksum regardless of compute dtype (init params
+    # are f32 either way); a TPU arm's init differs at ULP level from the
+    # platform's rsqrt/normal math — the lockstep table below bounds the
+    # effect of that plus bf16 directly.
+    print(f"params checksums: {sorted(checks)} "
+          f"(identical init: {len(checks) == 1})")
     n = min(len(r["losses"]) for r in runs.values())
     sm = {a: _smooth(r["losses"][:n]) for a, r in runs.items()}
     rows = []
@@ -299,7 +304,22 @@ def report(paths):
                 "delta_eer": round(r["final_eer"] - ref["final_eer"], 6),
             }
         )
-    print(json.dumps({"ref_eer": ref["final_eer"], "rows": rows}, indent=1))
+    lockstep = None
+    if "prod" in runs and "f32hash" in runs:
+        # prod and f32hash share seed AND dropout masks (counter-hash is
+        # platform-independent), so per-step deltas isolate bf16-vs-f32
+        # numerics + TPU-vs-CPU matmul accumulation order — no smoothing.
+        a = np.asarray(runs["prod"]["losses"][:n], np.float64)
+        b = np.asarray(runs["f32hash"]["losses"][:n], np.float64)
+        d = np.abs(a - b)
+        lockstep = {
+            "pair": "prod vs f32hash (pure bf16/platform effect, same masks)",
+            "max_abs_dloss_first_20": round(float(d[:20].max()), 5),
+            "max_abs_dloss_first_40": round(float(d[:40].max()), 5),
+            "divergence_step": int(np.argmax(d > 0.1)) if bool((d > 0.1).any()) else None,
+        }
+    print(json.dumps({"ref_eer": ref["final_eer"], "rows": rows,
+                      "lockstep": lockstep}, indent=1))
     # markdown for PERF.md
     print("\n| arm | platform | max smoothed-loss gap vs ref | final-loss Δ | EER | ΔEER |")
     print("|---|---|---|---|---|---|")
