@@ -39,22 +39,17 @@ def main():
     batch = example_wav.shape[0]
     rng = np.random.default_rng(0)
 
-    # Measurement notes for this machine's device transport (remote-TPU
-    # tunnel): it memoizes identical (program, args) requests, so the only
-    # trustworthy timing is (a) iterations chained inside ONE program via
-    # fori_loop — the device must execute all of them — and (b) every timed
-    # request made with never-seen-before input data. The n vs 2n
-    # differential cancels fixed per-request overhead.
-    @jax.jit
-    def run(n, *args):
-        *h, w = args
+    # Methodology (shared with tools/bench_int8*.py, full rationale in
+    # utils/benchmark.py): fori_loop-chained iterations in ONE program
+    # (the transport memoizes identical requests), fresh inputs per timed
+    # call, float() barrier, and a stall-robust median of interleaved
+    # n-vs-2n pair differentials.
+    from w2v2_speaker_tpu.utils.benchmark import (
+        make_fori_forward,
+        median_pair_differential,
+    )
 
-        def body(i, w_):
-            emb = forward(*h, w_)
-            # scalar feedback keeps iterations serially dependent
-            return w_ * (1.0 + 1e-20 * emb.sum())
-
-        return jax.lax.fori_loop(0, n, body, w).sum()  # scalar result
+    run = make_fori_forward(forward)
 
     def fresh_wav():
         return jnp.asarray(
@@ -74,25 +69,8 @@ def main():
         float(run(n, *head, w))
         return time.perf_counter() - start
 
-    # Estimator: MEDIAN of interleaved per-pair differentials, not
-    # independent minima. A transport stall during a t(n) request shrinks
-    # the apparent differential and INFLATES throughput (measured round 5:
-    # one +0.93 s t(n) stall read 2765 utt/s against a 1904-1955 band of 7
-    # clean pairs — the same mechanism that produced the outlier-high
-    # BENCH_r02 artifact of 2002). Independent min-of-3 has no defense
-    # when a rough transport patch inflates every t(n); the per-pair
-    # differential keeps stall effects one-sided per pair and the median
-    # discards them. One warmup of each program shape first: the first
-    # fresh-input call after compile is routinely an outlier.
-    timed(n_iters)
-    timed(2 * n_iters)
-    diffs = []
-    for _ in range(5):
-        t_n = timed(n_iters)
-        t_2n = timed(2 * n_iters)
-        diffs.append(max(t_2n - t_n, 1e-9))
-    elapsed = sorted(diffs)[len(diffs) // 2]
-    utt_per_sec = n_iters * batch / elapsed
+    per_iter = median_pair_differential(timed, n_iters)
+    utt_per_sec = batch / per_iter
     realtime_factor = utt_per_sec * CLIP_SECONDS
     print(
         json.dumps(

@@ -161,11 +161,6 @@ def main(argv=None) -> float:
     from w2v2_speaker_tpu.runtime.config import load_config
     from w2v2_speaker_tpu.runtime.experiment import run_train_eval
 
-    # Persist compiled executables across invocations (the reference pays
-    # no compile tax — eager torch; without this every run pays minutes of
-    # remote XLA compiles before step 1). W2V2_COMPILE_CACHE=0 opts out.
-    enable_compilation_cache()
-
     launcher, overrides = _pop_launcher(overrides)
     if launcher is not None:
         # render/submit the sweep as a SLURM array job; each task re-enters
@@ -210,6 +205,13 @@ def main(argv=None) -> float:
             runs = jobs
         launch_slurm(launcher, runs, pathlib.Path(sweep_dir))
         return math.nan  # objective is produced by the array tasks
+
+    # Persist compiled executables across invocations (the reference pays
+    # no compile tax — eager torch; without this every run pays minutes of
+    # remote XLA compiles before step 1). W2V2_COMPILE_CACHE=0 opts out.
+    # AFTER the launcher branch: submitting a SLURM sweep is device-free
+    # and must not touch jax state.
+    enable_compilation_cache()
 
     has_search = any(
         ov.split("=", 1)[0].lstrip("+") == "search" for ov in overrides

@@ -87,3 +87,24 @@ def test_default_on_skipped_on_cpu_backend(restore_cache_config):
     os.environ.pop("W2V2_COMPILE_CACHE", None)
     assert jax.default_backend() == "cpu"
     assert enable_compilation_cache() is None
+
+
+def test_env_enable_words_are_not_directories(
+    tmp_path, restore_cache_config, monkeypatch
+):
+    """W2V2_COMPILE_CACHE=yes is an enable word, not a cache dir named
+    './yes' (and on the CPU test backend, default-on stays off)."""
+    monkeypatch.chdir(tmp_path)
+    os.environ["W2V2_COMPILE_CACHE"] = "yes"
+    assert enable_compilation_cache() is None
+    assert not (tmp_path / "yes").exists()
+
+
+def test_platform_probe_reads_config_not_backend():
+    """The CPU check must come from the configured platform string, not
+    jax.default_backend() — backend init through the remote tunnel takes
+    ~50 s and can hang on device-free paths (SLURM submit)."""
+    from w2v2_speaker_tpu.runtime.compile_cache import _configured_platform
+
+    # the test conftest pins jax_platforms=cpu
+    assert _configured_platform() == "cpu"

@@ -199,3 +199,42 @@ def test_input_monitor_knobs_reach_speaker_pipeline(corpus, tmp_path):
     )
     sample_dirs = sorted(p for p in mon_dir.iterdir() if p.is_dir())
     assert len(sample_dirs) == 1
+
+
+def test_concurrent_duplicate_key_does_not_truncate_chain(tmp_path):
+    """A key drawn twice in one epoch (pairs/triplet sampling) can hit two
+    ParallelMap workers concurrently; the duplicate occurrence on the
+    other worker must be ignored — not mark the key done and truncate the
+    owner worker's in-flight stage chain to a lone 00_original."""
+    import threading
+
+    from w2v2_speaker_tpu.runtime.debug import PipelineDebugCapture
+
+    cap = PipelineDebugCapture(tmp_path, max_samples=2)
+    wav = np.zeros(8, np.float32)
+
+    cap.record("k", "original", wav)
+    # duplicate occurrence lands on another worker mid-chain
+    t = threading.Thread(target=cap.record, args=("k", "original", wav))
+    t.start()
+    t.join()
+    cap.record("k", "chunk0", wav[:4])  # owner's chain continues
+
+    d = tmp_path / "k"
+    assert (d / "00_original.npy").exists()
+    assert (d / "01_chunk0.npy").exists(), "owner chain was truncated"
+    # the duplicate pass itself appended nothing
+    assert not (d / "01_original.npy").exists()
+
+    # the owner's OWN second pass (later epoch / eval re-read) still
+    # finalizes the chain: no duplicate artifacts appended
+    cap.record("k", "original", wav)
+    cap.record("k", "chunk0", wav[:4])
+    assert not (d / "02_original.npy").exists()
+    assert not (d / "02_chunk0.npy").exists()
+
+    # max_samples=0: valid "no per-sample capture" setting
+    cap0 = PipelineDebugCapture(tmp_path / "zero", max_samples=0)
+    assert not cap0.wants("a")
+    cap0.record("a", "original", wav)
+    assert not (tmp_path / "zero").exists()

@@ -150,6 +150,40 @@ def test_int8_guard_allows_eval_only_flow():
         )
 
 
+def test_int8_yaml_int_one_means_true():
+    """CLI/YAML `network.int8_matmuls=1` arrives as int 1 (yaml.safe_load);
+    it must behave exactly like true — the training guard rejects it and
+    the builder enables int8 — not silently read as false (`1 is True` is
+    False even though `1 == True`)."""
+    import pytest
+
+    from w2v2_speaker_tpu.runtime.experiment import (
+        _validate_int8_config,
+        _w2v2_config,
+    )
+
+    with pytest.raises(ValueError, match="inference-only"):
+        _validate_int8_config(
+            {"network": {"int8_matmuls": 1}, "fit_model": True}
+        )
+    net = {
+        "wav2vec2_size": "tiny",
+        "int8_matmuls": 1,
+        "activation_dropout": 0.0,
+        "attention_dropout": 0.0,
+        "feat_proj_dropout": 0.0,
+        "hidden_dropout": 0.0,
+        "layerdrop": 0.0,
+        "mask_feature_length": 10,
+        "mask_feature_prob": 0.0,
+        "mask_time_length": 10,
+        "mask_time_prob": 0.0,
+    }
+    assert _w2v2_config(net, "f32", remat=False).int8_matmuls is True
+    net["int8_matmuls"] = 0
+    assert _w2v2_config(net, "f32", remat=False).int8_matmuls is False
+
+
 # ------------------------------------------------- int8_matmuls=auto path
 
 def test_int8_auto_policy():

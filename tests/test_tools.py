@@ -191,3 +191,56 @@ def test_bench_int8_mix_bucketing():
     mix = sample_mix(256)
     assert 4.0 <= mix.min() and mix.max() <= 20.0
     assert 7.0 < mix.mean() < 10.0  # VoxCeleb1-O-like mean ~8.2 s
+
+
+def test_parity_train_smooth_short_runs():
+    """--report on smoke runs shorter than the smoothing window must not
+    crash (window is clamped to the series length)."""
+    import parity_train as pt
+
+    s = pt._smooth([1.0, 2.0, 3.0], window=20)
+    assert len(s) == 1 and np.isclose(s[0], 2.0)
+    assert len(pt._smooth(np.arange(40, dtype=float), window=20)) == 21
+
+
+def test_benchmark_estimator_discards_one_sided_stall():
+    """median_pair_differential: a transport stall inflating one t(n)
+    perturbs exactly one pair; the median keeps the clean reading (the
+    BENCH_r02=2002 mechanism, PERF.md round-5 reconciliation)."""
+    from w2v2_speaker_tpu.utils.benchmark import median_pair_differential
+
+    calls = []
+    # per-iteration true cost 10 ms; pair 2's t(n) suffers a +0.9 s stall
+    schedule = {0: 0.0, 1: 0.0, 2: 0.9}
+    pair = [0]
+
+    def timed(m):
+        calls.append(m)
+        base = 0.010 * m
+        if m == 64:  # t(n) side
+            stall = schedule.get(pair[0], 0.0)
+            pair[0] += 1
+            return base + stall
+        return base
+
+    per_iter = median_pair_differential(timed, 64, pairs=3)
+    assert np.isclose(per_iter, 0.010)
+    # warmup of both shapes happened before the timed pairs
+    assert calls[:2] == [64, 128] and len(calls) == 8
+
+
+def test_benchmark_fori_forward_runs_n_iterations():
+    """make_fori_forward chains a traced number of serially-dependent
+    forwards in ONE program (the transport-memoization defense) and
+    returns a scalar."""
+    import jax.numpy as jnp
+
+    from w2v2_speaker_tpu.utils.benchmark import make_fori_forward
+
+    def forward(scale, w):
+        return w * scale
+
+    run = make_fori_forward(forward)
+    out = run(3, jnp.asarray(2.0), jnp.ones((4,), jnp.float32))
+    assert out.shape == ()
+    assert np.isfinite(float(out))

@@ -430,3 +430,48 @@ def test_default_trainer_exposes_epoch_knobs():
     assert t["max_epochs"] is None
     assert t["min_epochs"] is None
     assert t["deterministic"] is False
+
+
+def test_epoch_counter_survives_resume(tmp_path):
+    """PL persists the epoch counter in its checkpoints; a max_epochs-capped
+    run relaunched with trainer.resume=true must stop immediately instead
+    of training max_epochs MORE epochs (epoch rides the checkpoint index,
+    train/checkpoint.py::CheckpointManager.last_epoch)."""
+    trainer = {"max_epochs": 2, "max_steps": 100,
+               "val_check_interval": 100}
+    state, _ = _mini_loop_fixture(tmp_path, trainer, epoch_len=3)
+    assert int(state.step) == 6  # 2 epochs x 3 batches
+
+    state2, _ = _mini_loop_fixture(
+        tmp_path, {**trainer, "resume": True}, epoch_len=3
+    )
+    assert int(state2.step) == 6, (
+        "resumed run restarted epoch accounting from 0"
+    )
+
+
+def test_checkpoint_index_epoch_roundtrip(tmp_path):
+    """save_step(epoch=) -> last_epoch() round-trips through index.json,
+    and a fresh manager over the same dir reads it back."""
+    import jax
+    import optax
+
+    from w2v2_speaker_tpu.models.dummy import DummyModel
+    from w2v2_speaker_tpu.train.checkpoint import CheckpointManager
+    from w2v2_speaker_tpu.train.state import TrainState
+
+    model = DummyModel(num_speakers=4)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((2, 400), np.float32),
+        np.ones((2, 400), bool),
+    )["params"]
+    state = TrainState.create(
+        apply_fn=model.apply, params=params, tx=optax.sgd(1e-3),
+        rng=jax.random.PRNGKey(1),
+    )
+    mgr = CheckpointManager(tmp_path / "ck", top_k=1)
+    assert mgr.last_epoch() is None
+    mgr.save_step(state, {"val_eer": 0.4}, epoch=3)
+    assert mgr.last_epoch() == 3
+    assert CheckpointManager(tmp_path / "ck", top_k=1).last_epoch() == 3

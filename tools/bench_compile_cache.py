@@ -86,6 +86,19 @@ def timed_run(overrides, cache_dir, env_extra=None, timeout_s=3600):
         cmd, cwd=str(REPO), env=env, text=True,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
     )
+    # watchdog, not an in-loop check: the loop blocks in readline, so a
+    # child hung inside a device call (tunnel trap 10) producing no output
+    # would never reach an in-loop timeout test
+    import threading
+
+    timed_out = threading.Event()
+
+    def _expire():
+        timed_out.set()
+        proc.kill()
+
+    watchdog = threading.Timer(timeout_s, _expire)
+    watchdog.start()
     try:
         for line in proc.stdout:
             tail.append(line.rstrip())
@@ -95,11 +108,11 @@ def timed_run(overrides, cache_dir, env_extra=None, timeout_s=3600):
                 first_step = time.perf_counter() - t0
                 print(f"    first train step at {first_step:.1f}s",
                       flush=True)
-            if time.perf_counter() - t0 > timeout_s:
-                proc.kill()
-                raise TimeoutError(f"run exceeded {timeout_s}s")
         rc = proc.wait()
+        if timed_out.is_set():
+            raise TimeoutError(f"run exceeded {timeout_s}s")
     finally:
+        watchdog.cancel()
         if proc.poll() is None:
             proc.kill()
     total = time.perf_counter() - t0

@@ -59,6 +59,10 @@ def main():
         Wav2Vec2SpeakerConfig,
         Wav2Vec2SpeakerModel,
     )
+    from w2v2_speaker_tpu.utils.benchmark import (
+        make_fori_forward,
+        median_pair_differential,
+    )
 
     assert jax.devices()[0].platform == "tpu", "run on the TPU host"
     rng = np.random.default_rng(0)
@@ -89,34 +93,31 @@ def main():
             variables,
         )
 
-        @jax.jit
-        def run(m, *, v, w):
-            def body(i, w_):
-                emb = model.apply(
-                    v, w_, method=Wav2Vec2SpeakerModel.compute_embedding
-                )
-                return w_ * (1.0 + 1e-20 * emb.sum())
+        def forward(v, w):
+            return model.apply(
+                v, w, method=Wav2Vec2SpeakerModel.compute_embedding
+            )
 
-            return jax.lax.fori_loop(0, m, body, w).sum()
-
-        return run, variables
+        return make_fori_forward(forward), variables
 
     def fresh(batch, n):
         return jnp.asarray(rng.normal(size=(batch, n)).astype(np.float32))
 
     def measure(label, int8, batch, n, seconds):
         run, variables = build(int8, batch, n)
-        float(run(1, v=variables, w=fresh(batch, n)))  # compile
+        float(run(1, variables, fresh(batch, n)))  # compile
 
         def timed(m):
             w = fresh(batch, n)
             t0 = time.perf_counter()
-            float(run(m, v=variables, w=w))
+            float(run(m, variables, w))
             return time.perf_counter() - t0
 
-        t1 = min(timed(args.iters) for _ in range(3))
-        t2 = min(timed(2 * args.iters) for _ in range(3))
-        dt = max(t2 - t1, 1e-9) / args.iters
+        # stall-robust shared estimator (utils/benchmark.py) — this tool
+        # previously kept independent min-of-3 per side, which a one-sided
+        # transport stall biases by tens of % (PERF.md round-5
+        # reconciliation)
+        dt = median_pair_differential(timed, args.iters, pairs=3)
         print(
             f"{label}: {dt * 1e3:.2f} ms/batch-{batch} "
             f"({batch / dt:.0f} utt/s, "

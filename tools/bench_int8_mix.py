@@ -95,6 +95,10 @@ def main():
         INT8_AUTO_MIN_SAMPLES,
         int8_auto_policy,
     )
+    from w2v2_speaker_tpu.utils.benchmark import (
+        make_fori_forward,
+        median_pair_differential,
+    )
 
     assert jax.devices()[0].platform == "tpu", "run on the TPU host"
     if args.mix:
@@ -133,17 +137,12 @@ def main():
             variables,
         )
 
-        @jax.jit
-        def run(m, *, v, w):
-            def body(i, w_):
-                emb = model.apply(
-                    v, w_, method=Wav2Vec2SpeakerModel.compute_embedding
-                )
-                return w_ * (1.0 + 1e-20 * emb.sum())
+        def forward(v, w):
+            return model.apply(
+                v, w, method=Wav2Vec2SpeakerModel.compute_embedding
+            )
 
-            return jax.lax.fori_loop(0, m, body, w).sum()
-
-        return run, variables
+        return make_fori_forward(forward), variables
 
     def measure(int8, n):
         run, variables = build(int8, n)
@@ -153,28 +152,18 @@ def main():
                 rng.normal(size=(args.batch, n)).astype(np.float32)
             )
 
-        float(run(1, v=variables, w=fresh()))  # compile
+        float(run(1, variables, fresh()))  # compile
 
         def timed(m):
             w = fresh()
             t0 = time.perf_counter()
-            float(run(m, v=variables, w=w))
+            float(run(m, variables, w))
             return time.perf_counter() - t0
 
-        # median of interleaved per-pair differentials (the bench.py
-        # estimator): independent min-of-3 per side is stall-biased in
-        # BOTH directions — a t(n)-side transport stall shrinks the
-        # differential and fakes a speedup, a t(2n)-side stall fakes a
-        # slowdown (PERF.md round-5 reconciliation; first observed here
-        # as a 6 s bucket reading -15% then +31% across two sessions).
-        timed(args.iters)  # first fresh-input call is routinely an outlier
-        timed(2 * args.iters)
-        diffs = []
-        for _ in range(5):
-            t1 = timed(args.iters)
-            t2 = timed(2 * args.iters)
-            diffs.append(max(t2 - t1, 1e-9))
-        return sorted(diffs)[len(diffs) // 2] / args.iters
+        # stall-robust shared estimator (utils/benchmark.py; independent
+        # minima are stall-biased in BOTH directions — first observed here
+        # as a 6 s bucket reading -15% then +31% across two sessions)
+        return median_pair_differential(timed, args.iters)
 
     hidden = size.hidden_size
     per_bucket = {}

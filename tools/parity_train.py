@@ -157,6 +157,8 @@ def run_arm(arm: str, steps: int, out: str, dispatch: int):
     if platform == "cpu":
         assert real_platform == "cpu", real_platform
     K = dispatch if real_platform == "tpu" else 1
+    K = min(K, steps)  # smoke runs with --steps < --dispatch must not
+    # round the step count down to zero (empty losses break --report)
     steps = (steps // K) * K
 
     train, evals = make_corpus()
@@ -271,6 +273,10 @@ def run_arm(arm: str, steps: int, out: str, dispatch: int):
 
 def _smooth(xs, window=20):
     xs = np.asarray(xs, np.float64)
+    # smoke runs shorter than the window still get a (coarser) curve —
+    # 'valid' with window > len would return a zero-length array and crash
+    # the report's np.max
+    window = max(1, min(window, len(xs)))
     c = np.convolve(xs, np.ones(window) / window, mode="valid")
     return c
 

@@ -23,7 +23,30 @@ import pathlib
 __all__ = ["enable_compilation_cache"]
 
 _ENV_KNOB = "W2V2_COMPILE_CACHE"
+_ENABLED = {"1", "true", "yes", "on"}
 _DISABLED = {"0", "false", "no", "off"}
+
+
+def _configured_platform() -> str:
+    """Best-effort platform name WITHOUT initializing a backend.
+
+    `jax.default_backend()` would trigger full backend init — through the
+    remote-TPU tunnel that is ~50 s of connection setup, and on a
+    device-free code path (e.g. rendering a SLURM sweep while the tunnel
+    is down, CLAUDE.md trap 10) it can hang or raise. The configured
+    platform string answers the only question we have (is this CPU?)
+    for free; '' means auto-detect (treated as non-CPU: accelerator
+    hosts are the production case, and a CPU-only auto-detect host
+    merely gains a harmless warm cache)."""
+    import jax
+
+    plats = ""
+    try:
+        plats = str(jax.config.jax_platforms or "")
+    except AttributeError:
+        pass
+    plats = plats or os.environ.get("JAX_PLATFORMS", "")
+    return plats.split(",")[0].strip().lower()
 
 
 def default_cache_dir() -> pathlib.Path:
@@ -45,15 +68,16 @@ def enable_compilation_cache(cache_dir: str | os.PathLike | None = None):
     env = os.environ.get(_ENV_KNOB, "").strip()
     if env.lower() in _DISABLED:
         return None
+    # an env value that is neither an enable word nor a disable word is a
+    # directory override; bare enable words (1/true/yes/on) keep the
+    # default location
     explicit = cache_dir is not None or (
-        env and env.lower() not in {"1", "true", "on"}
+        env != "" and env.lower() not in _ENABLED
     )
     if cache_dir is None:
         cache_dir = env if explicit else default_cache_dir()
 
-    import jax
-
-    if not explicit and jax.default_backend() == "cpu":
+    if not explicit and _configured_platform() == "cpu":
         # default-on only off-CPU: CPU compiles are cheap, and XLA:CPU AOT
         # reload logs machine-feature-mismatch errors (with a SIGILL risk
         # when the cache dir is shared across hosts). An explicit dir (arg

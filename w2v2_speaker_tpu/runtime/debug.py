@@ -91,6 +91,7 @@ class PipelineDebugCapture:
         self.max_samples = int(max_samples)
         self.sample_rate = int(sample_rate)
         self._stage_idx: Dict[str, int] = {}
+        self._owner: Dict[str, int] = {}
         self._done: set = set()
         self._lock = threading.Lock()
 
@@ -101,6 +102,14 @@ class PipelineDebugCapture:
             )
 
     def _next_stage(self, key: str, stage: str) -> Optional[int]:
+        # A sample's full stage chain runs synchronously inside ONE worker
+        # call, so chains are thread-local: the first thread to record a
+        # key owns its chain. A concurrent occurrence of the same key on
+        # ANOTHER worker (pairs/triplet sampling can draw a key twice per
+        # epoch) is ignored outright — marking the key done there would
+        # truncate the owner's in-flight chain mid-flight, leaving only
+        # 00_original on disk.
+        tid = threading.get_ident()
         with self._lock:
             if key in self._done:
                 return None
@@ -108,11 +117,14 @@ class PipelineDebugCapture:
                 if len(self._stage_idx) >= self.max_samples:
                     return None
                 self._stage_idx[key] = 0
+                self._owner[key] = tid
+            elif self._owner.get(key) != tid:
+                return None
             elif stage == "original" and self._stage_idx[key] > 0:
-                # a second pipeline pass over the same key (the example
-                # batch drawn for state init, a later epoch, an eval
-                # re-read): the first pass's stage chain is complete —
-                # don't append duplicate artifacts
+                # a second pipeline pass over the same key on the owner
+                # thread (the example batch drawn for state init, a later
+                # epoch, an eval re-read): the first pass's stage chain is
+                # complete — don't append duplicate artifacts
                 self._done.add(key)
                 return None
             idx = self._stage_idx[key]

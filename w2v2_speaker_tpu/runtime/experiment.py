@@ -359,8 +359,9 @@ def _w2v2_config(
             # the serving entry use it for ~2x dense throughput.
             # "auto" is a serving-dispatch policy (predict.py picks
             # bf16-vs-int8 per duration bucket); the model built here is
-            # full precision — only a literal true flips the matmuls
-            "int8_matmuls": net.get("int8_matmuls", False) is True,
+            # full precision — only true (or YAML 1) flips the matmuls
+            "int8_matmuls": _canon_int8(net.get("int8_matmuls", False))
+            is True,
             # counter-hash dropout masks (default): fused iota-hash keep
             # masks instead of standalone rbg PRNG passes — −8.7% on the
             # BASE train step (PERF.md round-4 dropout-sampler table);
@@ -782,13 +783,23 @@ def extract_embeddings(
 
 # ------------------------------------------------------------------- driver
 
+def _canon_int8(val):
+    """Normalize `network.int8_matmuls`: YAML `1`/`0` arrive as ints
+    (yaml.safe_load), and int 1 `==` True but `is not` True — canonicalize
+    so 1 means true everywhere (incl. the training guard) instead of
+    silently reading as false in the builder."""
+    if isinstance(val, str):
+        return val
+    return bool(val)
+
+
 def _validate_int8_config(cfg: Dict) -> None:
     """int8 matmuls have no gradient path (round() is zero-gradient) —
     training would silently never update the dense layers. Inference-only
     flows are fine: predict.py, and the eval-only driver path
     (fit_model=false + warm start)."""
-    val = cfg["network"].get("int8_matmuls", False)
-    if val not in (True, False, None, "auto"):
+    val = _canon_int8(cfg["network"].get("int8_matmuls", False))
+    if val not in (True, False, "auto"):
         raise ValueError(
             f"network.int8_matmuls must be true/false/auto, got {val!r}"
         )
@@ -908,7 +919,13 @@ def run_train_eval(cfg: Dict) -> Optional[float]:
                 / "first_batch"
                 / "per_sample"
             ),
-            max_samples=int(mon.get("max_samples") or 4),
+            # None-check, not `or`: max_samples=0 is a valid "collated
+            # dump only, no per-sample capture" setting
+            max_samples=int(
+                4
+                if mon.get("max_samples") is None
+                else mon.get("max_samples")
+            ),
         )
 
     task_kind_tokenizer = (
@@ -1112,10 +1129,18 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
         monitor="val_eer" if loss_fn_kind != "speech" else "val_wer",
         top_k=int(trainer.get("save_top_k", 1)),
     )
+    resumed_epoch = 0
     if trainer.get("resume"):
         try:
             state = ckpt.restore(state, name="last")
-            print(f"resumed from step {int(state.step)}")
+            # continue epoch accounting too (PL persists the epoch
+            # counter): without this, max_epochs/min_epochs restart from
+            # 0 on every relaunch
+            resumed_epoch = ckpt.last_epoch() or 0
+            print(
+                f"resumed from step {int(state.step)}"
+                f" (epoch {resumed_epoch})"
+            )
         except FileNotFoundError:
             print("resume requested but no 'last' checkpoint; starting fresh")
 
@@ -1152,7 +1177,7 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
     step = int(state.step)
     expected_shapes = None
     first_batch_dumped = False
-    epoch = 0
+    epoch = resumed_epoch
     dropped_ragged = 0
     stop_reason = None
 
@@ -1259,7 +1284,7 @@ def _train_loop(cfg, task, state, mesh, logger, train_iter_fn, validate_fn,
         logger.log_eval(step, val_metrics)
         if not fast_dev:
             # PL disables checkpointing under fast_dev_run
-            ckpt.save_step(state, val_metrics)
+            ckpt.save_step(state, val_metrics, epoch=epoch)
         if plateau_ctl is not None:
             monitor = val_metrics.get(
                 "val_eer", val_metrics.get("val_wer", 1.0)

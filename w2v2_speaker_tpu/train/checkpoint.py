@@ -100,13 +100,25 @@ class CheckpointManager:
         self._ckpt.wait_until_finished()
 
     def save_step(
-        self, state: TrainState, metrics: Optional[Dict[str, float]] = None
+        self,
+        state: TrainState,
+        metrics: Optional[Dict[str, float]] = None,
+        epoch: Optional[int] = None,
     ) -> None:
-        """Call after each validation: updates 'last' and the best-k set."""
+        """Call after each validation: updates 'last' and the best-k set.
+
+        `epoch` (the epoch in progress at save time) rides the index so a
+        resumed run continues epoch accounting where it left off — PL
+        persists the epoch counter in its checkpoints, and without it
+        `trainer.max_epochs`/`min_epochs` would restart from 0 on every
+        relaunch (a max_epochs-capped run would train max_epochs MORE
+        epochs after each resume)."""
         step = int(state.step)
         if self.save_last:
             self._save("last", state)
             self._index["last"] = {"step": step}
+            if epoch is not None:
+                self._index["last"]["epoch"] = int(epoch)
         metric = None if metrics is None else metrics.get(self.monitor)
         if metric is not None and np.isfinite(metric):
             name = f"step{step:08d}_{self.monitor}={metric:.4f}"
@@ -201,6 +213,12 @@ class CheckpointManager:
             ),
             rng=best["rng"],
         )
+
+    def last_epoch(self) -> Optional[int]:
+        """Epoch recorded with the 'last' checkpoint (None on old/absent
+        indexes); lets a resumed run continue max/min_epochs accounting."""
+        ep = (self._index.get("last") or {}).get("epoch")
+        return None if ep is None else int(ep)
 
     def restore(self, template: TrainState, name: str = "best") -> TrainState:
         """Restore full train state into the (abstract) template."""
