@@ -50,17 +50,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from w2v2_speaker_tpu.models.wav2vec2 import (
-        BASE_CONFIG,
-        LARGE_CONFIG,
-        Wav2Vec2Config,
-    )
-    from w2v2_speaker_tpu.models.wav2vec2_speaker import (
-        Wav2Vec2SpeakerConfig,
-        Wav2Vec2SpeakerModel,
-    )
+    from w2v2_speaker_tpu.models.wav2vec2 import BASE_CONFIG, LARGE_CONFIG
     from w2v2_speaker_tpu.utils.benchmark import (
-        make_fori_forward,
+        build_extraction_bench,
         median_pair_differential,
     )
 
@@ -69,42 +61,11 @@ def main():
     n = int(16000 * args.seconds)
     size = LARGE_CONFIG if args.large else BASE_CONFIG
 
-    def build(int8, batch, n):
-        cfg = Wav2Vec2SpeakerConfig(
-            w2v2=Wav2Vec2Config(
-                **{
-                    **size.__dict__,
-                    "dtype": "bfloat16",
-                    "layerdrop": 0.0,
-                    "int8_matmuls": int8,
-                }
-            ),
-            stat_pooling_type="mean",
-        )
-        model = Wav2Vec2SpeakerModel(cfg=cfg, num_speakers=5994)
-        wav = jnp.zeros((batch, n), jnp.float32)
-        variables = jax.jit(model.init)(
-            {"params": jax.random.PRNGKey(0)}, wav
-        )
-        variables = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32
-            else x,
-            variables,
-        )
-
-        def forward(v, w):
-            return model.apply(
-                v, w, method=Wav2Vec2SpeakerModel.compute_embedding
-            )
-
-        return make_fori_forward(forward), variables
-
     def fresh(batch, n):
         return jnp.asarray(rng.normal(size=(batch, n)).astype(np.float32))
 
     def measure(label, int8, batch, n, seconds):
-        run, variables = build(int8, batch, n)
+        run, variables = build_extraction_bench(size, int8, batch, n)
         float(run(1, variables, fresh(batch, n)))  # compile
 
         def timed(m):

@@ -82,21 +82,13 @@ def main():
 
     enable_compilation_cache()  # 22 program shapes; reruns skip compiles
 
-    from w2v2_speaker_tpu.models.wav2vec2 import (
-        BASE_CONFIG,
-        LARGE_CONFIG,
-        Wav2Vec2Config,
-    )
-    from w2v2_speaker_tpu.models.wav2vec2_speaker import (
-        Wav2Vec2SpeakerConfig,
-        Wav2Vec2SpeakerModel,
-    )
+    from w2v2_speaker_tpu.models.wav2vec2 import BASE_CONFIG, LARGE_CONFIG
     from w2v2_speaker_tpu.ops.quant import (
         INT8_AUTO_MIN_SAMPLES,
         int8_auto_policy,
     )
     from w2v2_speaker_tpu.utils.benchmark import (
-        make_fori_forward,
+        build_extraction_bench,
         median_pair_differential,
     )
 
@@ -117,35 +109,8 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    def build(int8, n):
-        cfg = Wav2Vec2SpeakerConfig(
-            w2v2=Wav2Vec2Config(
-                **{
-                    **size.__dict__,
-                    "dtype": "bfloat16",
-                    "layerdrop": 0.0,
-                    "int8_matmuls": int8,
-                }
-            ),
-            stat_pooling_type="mean",
-        )
-        model = Wav2Vec2SpeakerModel(cfg=cfg, num_speakers=5994)
-        wav = jnp.zeros((args.batch, n), jnp.float32)
-        variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, wav)
-        variables = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-            variables,
-        )
-
-        def forward(v, w):
-            return model.apply(
-                v, w, method=Wav2Vec2SpeakerModel.compute_embedding
-            )
-
-        return make_fori_forward(forward), variables
-
     def measure(int8, n):
-        run, variables = build(int8, n)
+        run, variables = build_extraction_bench(size, int8, args.batch, n)
 
         def fresh():
             return jnp.asarray(

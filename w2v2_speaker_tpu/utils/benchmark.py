@@ -29,7 +29,11 @@ from __future__ import annotations
 import time
 from typing import Callable
 
-__all__ = ["median_pair_differential", "make_fori_forward"]
+__all__ = [
+    "median_pair_differential",
+    "make_fori_forward",
+    "build_extraction_bench",
+]
 
 
 def median_pair_differential(
@@ -78,3 +82,51 @@ def make_fori_forward(forward: Callable):
         return jax.lax.fori_loop(0, n, body, w).sum()
 
     return run
+
+
+def build_extraction_bench(size_cfg, int8: bool, batch: int, n_samples: int):
+    """Serving-configuration speaker-embedding forward for benchmarking:
+    BASE/LARGE wav2vec2 + mean pooling, bf16 weights (halves weight HBM
+    traffic, +23% measured on v5e), optional int8 MXU matmuls — exactly
+    the `entry()`/predict serving setup. Returns (run, variables) with
+    `run = make_fori_forward(...)` (call as `run(m, variables, wav)`).
+
+    Shared by tools/bench_int8.py and tools/bench_int8_mix.py so the A/B
+    and the composite-mix tools measure the SAME program.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.wav2vec2 import Wav2Vec2Config
+    from ..models.wav2vec2_speaker import (
+        Wav2Vec2SpeakerConfig,
+        Wav2Vec2SpeakerModel,
+    )
+
+    cfg = Wav2Vec2SpeakerConfig(
+        w2v2=Wav2Vec2Config(
+            **{
+                **size_cfg.__dict__,
+                "dtype": "bfloat16",
+                "layerdrop": 0.0,
+                "int8_matmuls": int8,
+            }
+        ),
+        stat_pooling_type="mean",
+    )
+    model = Wav2Vec2SpeakerModel(cfg=cfg, num_speakers=5994)
+    wav = jnp.zeros((batch, n_samples), jnp.float32)
+    # jitted init: un-jitted flax init dispatches hundreds of tiny ops —
+    # pathological through a remote-device transport
+    variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, wav)
+    variables = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        variables,
+    )
+
+    def forward(v, w):
+        return model.apply(
+            v, w, method=Wav2Vec2SpeakerModel.compute_embedding
+        )
+
+    return make_fori_forward(forward), variables
